@@ -1,0 +1,18 @@
+"""Test harness configuration.
+
+Forces the CPU backend with 8 virtual devices BEFORE jax initializes so that
+multi-chip sharding tests run anywhere (the TPU-native answer to testing
+pod-slice code without a pod slice — see SURVEY.md §4).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
