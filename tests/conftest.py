@@ -16,3 +16,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+
+# persistent compile cache: repeat test runs skip recompilation
+_CACHE_DIR = os.path.expanduser("~/.cache/gpu_pathtracer_tpu_jax")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
