@@ -1,0 +1,266 @@
+"""Light tree: many-lights importance sampling + MIS mixture pdf.
+
+TPU-native re-derivation of the reference's target-geometry BVH
+(`src/model/bvh/bvh_traversal_target.h`, `src/model/bvh/bvh.h:60-114`,
+`src/model/material/material_operations.h`):
+
+* emitter enumeration + per-triangle energy 2*pi*avg(Ke)*area
+  (triangle.h:112-122, pathtracing_target_geom_operations.h:5-48);
+* a binary radix tree over the emitters (same LBVH as geometry) whose nodes
+  carry energy sums (bvh_building.h:304-348) — node importance is
+  |energy| / dist^2 to the node's AABB center, with the leaf term using the
+  *directed* energy toward the shading point (bvh.h:60-96);
+* stochastic root-to-leaf descent ∝ importance
+  (traverse_bvh_to_pick_a_target, bvh_traversal_target.h:79-112);
+* the MIS mixture pdf: hittable_pdf = sum over emitters the ray actually
+  hits of node_pdf * dist^2/(|cos|*area)
+  (material_operations.h:26-72, triangle.h:95-110).  The reference culls
+  that sum with a ray/AABB collection pass; since get_hittable_pdf is zero
+  on a miss anyway, evaluating all emitters vectorized gives the identical
+  value — the AABB pass was GPU-side culling, not semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.constants import SMALL_EPS
+from gpu_pathtracer_tpu.ops import bvh as bvh_mod
+from gpu_pathtracer_tpu.ops import intersect, linalg
+from gpu_pathtracer_tpu.pytree import pytree_dataclass
+
+
+@pytree_dataclass(meta=("num_lights",))
+class LightTree:
+    tree: bvh_mod.BVH  # leaf_size=1 radix tree over emitters
+    node_energy: jnp.ndarray  # (2E-1, 3) energy sums (leaves = emitter energy)
+    # leaf payloads in tree order (leaf k <-> sorted slot k):
+    tri_p: jnp.ndarray  # (E, 3, 3)
+    tri_n: jnp.ndarray  # (E, 3, 3) per-vertex normals
+    tri_uv: jnp.ndarray  # (E, 3, 2)
+    area: jnp.ndarray  # (E,)
+    avg_normal: jnp.ndarray  # (E, 3) normal at barycenter (triangle.h:87)
+    centroid: jnp.ndarray  # (E, 3)
+    tol: jnp.ndarray  # (E,) watertight-hit tolerance
+    geom_slot: jnp.ndarray  # (E,) int32 row in the SORTED scene arrays
+    num_lights: int = 0
+
+
+def build_light_tree(
+    tri_p: jnp.ndarray,  # (E, 3, 3) emitter triangles
+    tri_n: jnp.ndarray,  # (E, 3, 3)
+    tri_uv: jnp.ndarray,  # (E, 3, 2)
+    energy: jnp.ndarray,  # (E, 3) per-emitter 2*pi*avgKe*area
+    geom_slot: jnp.ndarray,  # (E,) row of each emitter in the sorted scene SoA
+) -> LightTree:
+    """Build the light tree (the reference's target LBVH + energy fit)."""
+    e = tri_p.shape[0]
+    pmin = jnp.min(tri_p, axis=1)
+    pmax = jnp.max(tri_p, axis=1)
+    tree = bvh_mod.build_bvh(pmin, pmax, leaf_size=1)
+    order = tree.order[:e]  # leaf k holds original emitter order[k]
+
+    tri_p = tri_p[order]
+    tri_n = tri_n[order]
+    tri_uv = tri_uv[order]
+    energy = energy[order]
+    geom_slot = geom_slot[order]
+
+    # bottom-up energy sums (compute_node_bounding_cones, bvh_building.h:304)
+    num_internal = e - 1
+    node_energy = jnp.concatenate(
+        [jnp.zeros((num_internal, 3), energy.dtype), energy], axis=0
+    )
+    if num_internal > 0:
+        left = tree.left[:num_internal]  # hit link of internal = left child
+
+        # recover right children: escape of the left child within the subtree
+        right = tree.escape[left]
+
+        def body(carry):
+            en, _ = carry
+            new = en.at[:num_internal].set(en[left] + en[right])
+            return new, jnp.any(new != en)
+
+        node_energy, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (node_energy, jnp.bool_(True))
+        )
+
+    avg_normal = linalg.normalize(jnp.mean(tri_n, axis=1), SMALL_EPS)
+    return LightTree(
+        tree=tree,
+        node_energy=node_energy,
+        tri_p=tri_p,
+        tri_n=tri_n,
+        tri_uv=tri_uv,
+        area=intersect.triangle_area(tri_p),
+        avg_normal=avg_normal,
+        centroid=jnp.mean(tri_p, axis=1),
+        tol=intersect.triangle_tolerance(tri_p),
+        geom_slot=geom_slot,
+        num_lights=e,
+    )
+
+
+def _node_importance(
+    lt: LightTree, node: jnp.ndarray, point: jnp.ndarray, pivot: jnp.ndarray
+) -> jnp.ndarray:
+    """Node::compute_importance (bvh.h:60-96): |energy|/dist^2 with the leaf
+    using directed energy toward the shading point.
+
+    node (...,) int32 (unified ids), point/pivot (..., 3).
+    """
+    e = lt.num_lights
+    leaf_base = e - 1
+    center = 0.5 * (lt.tree.aabb_min[node] + lt.tree.aabb_max[node])
+    d = point - center
+    dist2 = jnp.maximum(linalg.dot(d, d), 1e-30)
+
+    is_leaf = node >= leaf_base
+    leaf = jnp.clip(node - leaf_base, 0, e - 1)
+    # compute_directed_energy (triangle.h:84-93)
+    dir_to_point = linalg.normalize(point - lt.centroid[leaf], SMALL_EPS)
+    fac = jnp.maximum(
+        0.0,
+        linalg.dot(lt.avg_normal[leaf], dir_to_point)
+        * linalg.dot(-dir_to_point, pivot),
+    )
+    energy = lt.node_energy[node]
+    eff = jnp.where(is_leaf[..., None], energy * fac[..., None], energy)
+    return linalg.length(eff) / dist2
+
+
+def pick_light(
+    lt: LightTree,
+    point: jnp.ndarray,  # (R, 3) shading points
+    pivot: jnp.ndarray,  # (R, 3) normal (diffuse) or perfect dir (specular)
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Stochastic root-to-leaf descent ∝ child importance
+    (traverse_bvh_to_pick_a_target, bvh_traversal_target.h:79-112).
+
+    Returns (R,) int32 leaf index (tree order).
+    """
+    e = lt.num_lights
+    if e == 1:
+        return jnp.zeros(point.shape[:-1], jnp.int32)
+    leaf_base = e - 1
+    r_shape = point.shape[:-1]
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node < leaf_base)
+
+    def body(state):
+        node, step = state
+        at_internal = node < leaf_base
+        safe = jnp.minimum(node, leaf_base - 1)
+        left = lt.tree.left[safe]
+        right = lt.tree.escape[left]
+        imp_l = _node_importance(lt, left, point, pivot)
+        imp_r = _node_importance(lt, right, point, pivot)
+        total = imp_l + imp_r
+        factor = jnp.where(total < 1e-10, 0.5, imp_l / jnp.maximum(total, 1e-30))
+        u = jax.random.uniform(jax.random.fold_in(key, step), r_shape)
+        nxt = jnp.where(u < factor, left, right)
+        return jnp.where(at_internal, nxt, node), step + 1
+
+    node, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(r_shape, jnp.int32), jnp.int32(0))
+    )
+    return node - leaf_base
+
+
+def sample_point_on_light(
+    lt: LightTree, leaf: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray
+) -> jnp.ndarray:
+    """Uniform point on the chosen emitter: u = 1-sqrt(r1), v = r2*sqrt(r1)
+    (Triangle::get_random_point_on_surface, triangle.h:199-224)."""
+    s = jnp.sqrt(jnp.maximum(u1, 0.0))
+    u = 1.0 - s
+    v = u2 * s
+    p = lt.tri_p[leaf]
+    return (
+        u[..., None] * p[..., 0, :]
+        + v[..., None] * p[..., 1, :]
+        + (1.0 - u - v)[..., None] * p[..., 2, :]
+    )
+
+
+def leaf_node_pdfs(
+    lt: LightTree, point: jnp.ndarray, pivot: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-leaf selection pdf = product of branch probabilities root->leaf
+    (get_node_pdf, bvh_traversal_target.h:48-77), for ALL leaves at once.
+
+    point/pivot (R, 3) -> (R, E).  NaN/inf branch ratios fall back to 0.5
+    exactly like the reference.
+    """
+    e = lt.num_lights
+    if e == 1:
+        return jnp.ones(point.shape[:-1] + (1,))
+    leaf_base = e - 1
+
+    leaf_nodes = jnp.arange(e, dtype=jnp.int32) + leaf_base  # (E,)
+    pt = point[..., None, :]  # (R, 1, 3)
+    pv = pivot[..., None, :]
+
+    def cond(state):
+        cur, _ = state
+        return jnp.any(cur > 0)  # root (node 0) has no parent
+
+    def body(state):
+        cur, pdf = state
+        live = cur > 0
+        safe = jnp.maximum(cur, 0)
+        par = lt.tree.parent[safe]
+        par_safe = jnp.maximum(par, 0)
+        left = lt.tree.left[par_safe]
+        right = lt.tree.escape[left]
+        sib = jnp.where(left == safe, right, left)
+        imp_1 = _node_importance(lt, safe, pt, pv)
+        imp_2 = _node_importance(lt, sib, pt, pv)
+        ratio = imp_1 / (imp_1 + imp_2)
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, 0.5)
+        pdf = jnp.where(live, pdf * ratio, pdf)
+        return jnp.where(live, par, cur), pdf
+
+    _, pdf = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.broadcast_to(leaf_nodes, point.shape[:-1] + (e,)),
+            jnp.ones(point.shape[:-1] + (e,)),
+        ),
+    )
+    return pdf
+
+
+def hittable_pdf_sum(
+    lt: LightTree,
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3) unit
+    pivot: jnp.ndarray,  # (R, 3)
+) -> jnp.ndarray:
+    """sum_i node_pdf_i * geom_pdf_i over every emitter the ray hits
+    (_recompute_pdf, material_operations.h:26-72).
+
+    geom_pdf = t^2 / (|cos| * area) at the watertight hit of THAT emitter
+    (triangle.h:95-110); zero on a miss, so summing over all emitters equals
+    the reference's AABB-culled sum exactly.
+    """
+    node_pdf = leaf_node_pdfs(lt, origin, pivot)  # (R, E)
+    t, bary, hit = intersect.intersect_tris(
+        origin, direction, lt.tri_p[None], lt.tol[None], jnp.inf
+    )  # (R, E), (R, E, 3)
+    n_hit = linalg.normalize(
+        jnp.sum(bary[..., None] * lt.tri_n[None], axis=-2), SMALL_EPS
+    )  # (R, E, 3)
+    cos = jnp.abs(linalg.dot(direction[..., None, :], n_hit))
+    geom = jnp.where(
+        hit,
+        (t * t) / jnp.maximum(cos * lt.area[None, :], 1e-20),
+        0.0,
+    )
+    return jnp.sum(node_pdf * geom, axis=-1)

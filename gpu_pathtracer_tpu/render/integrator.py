@@ -1,0 +1,286 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native re-derivation of the reference's megakernel path tracer
+(`src/render/pathtracing.h:86-200` `_compute_color` and `:252-305`
+`path_tracing_render`): instead of one divergent per-pixel thread, ALL rays
+advance one bounce per step of a `lax.scan` — each step is a batched BVH
+traversal + batched BSDF sample + batched NEE, which is pure vector work.
+
+Estimator parity with the reference per bounce:
+
+    hit  -> ref = check_next_path(...)                    (materials.sample_bsdf)
+            if not false_hit and not sss: change_ref_ray  (NEE/MIS, factor)
+            acc  += mask * emission(uv)          [non-false hits]
+            mask *= ref.filter * clamp(factor, 0, .9999); dead if factor <= 0
+            dielectric stack push/pop from (false_hit, entering, refracted)
+    miss -> acc += mask * sky(dir); dead
+
+Randomness is counter-based: every (ray, bounce) folds the base key, so the
+image is reproducible and independent of sharding layout (the TPU answer to
+the reference's per-pixel cuRAND XORWOW streams, util/general.h:8-16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE, SMALL_EPS
+from gpu_pathtracer_tpu.ops import bvh as bvh_mod
+from gpu_pathtracer_tpu.ops import lights as lights_mod
+from gpu_pathtracer_tpu.ops import linalg, materials, sampling, texture
+from gpu_pathtracer_tpu.models.scene import Scene
+
+
+def interpolate_hit(g, table, slot, bary):
+    """Barycentric position/uv + the reference's shading normal with
+    tangent-frame bump perturbation (Triangle::_get_normal,
+    triangle.h:410-441).  Works on any GeometrySet (main or transparent)."""
+    s = jnp.maximum(slot, 0)
+    b = bary[..., None]  # (R, 3, 1)
+    point = jnp.sum(b * g.p[s], axis=-2)
+    uv = jnp.sum(b * g.uv[s], axis=-2)
+    n = linalg.normalize(jnp.sum(b * g.n[s], axis=-2), SMALL_EPS)
+    mat_id = g.mat_id[s]
+
+    bump = table.bump_vector(mat_id, uv)  # (R, 3) [u, v, _]
+    tangent = jnp.sum(b * g.tangent[s], axis=-2)
+    tan_ok = jnp.all(jnp.isfinite(tangent), axis=-1)
+    tangent = jnp.where(tan_ok[..., None], tangent, 1.0)
+    ux, vy, _ = linalg.onb_from_z_tangent(n, linalg.normalize(tangent, SMALL_EPS))
+    ux0, vy0, _ = linalg.onb_from_z(n)
+    u_axis = jnp.where(tan_ok[..., None], ux, ux0)
+    v_axis = jnp.where(tan_ok[..., None], vy, vy0)
+
+    has_bump = linalg.length(bump) > 0.0
+    n_bumped = linalg.normalize(
+        n + bump[..., 0:1] * u_axis + bump[..., 1:2] * v_axis, SMALL_EPS
+    )
+    normal = jnp.where(has_bump[..., None], n_bumped, n)
+    return point, uv, normal, mat_id
+
+
+def _sky_color(scene: Scene, direction):
+    """pathtracing.h:69-82."""
+    return texture.lookup_sky(
+        scene.sky_rgb, scene.sky_h, scene.sky_w, direction, scene.sky_emission
+    )
+
+
+def _nee_mis(
+    scene: Scene,
+    ref: materials.ReflectionRecord,
+    normal,
+    coming_dir,
+    hittable_pdf_weight: float,
+    key,
+):
+    """change_ref_ray (material_operations.h:87-153): with prob w redirect
+    the sampled ray at a light-tree-sampled emitter point, then weight with
+    the mixture pdf.  Returns (new_dir, new_filter, factor)."""
+    lt = scene.light_tree
+    r_shape = ref.pdf.shape
+    pivot = jnp.where(ref.diffuse[..., None], normal, ref.perfect_dir)
+
+    w = jnp.where(jnp.isinf(ref.n), 0.0, hittable_pdf_weight)
+    u_accept = jax.random.uniform(jax.random.fold_in(key, 0), r_shape)
+    take_light = u_accept < w
+
+    leaf = lights_mod.pick_light(lt, ref.origin, pivot, jax.random.fold_in(key, 1))
+    u1 = jax.random.uniform(jax.random.fold_in(key, 2), r_shape)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 3), r_shape)
+    target = lights_mod.sample_point_on_light(lt, leaf, u1, u2)
+    light_dir = linalg.normalize(target - ref.origin, SMALL_EPS)
+
+    new_dir = jnp.where(take_light[..., None], light_dir, ref.dir)
+    # phong re-weighting when a specular/refracted lobe got redirected
+    refilter = take_light & (ref.reflected | ref.refracted)
+    filt_l = sampling.phong_filter(ref.k, ref.n, pivot, new_dir)
+    new_filter = jnp.where(refilter[..., None], filt_l, ref.filter)
+
+    # mixture pdf (material_operations.h:26-72)
+    hittable = lights_mod.hittable_pdf_sum(lt, ref.origin, new_dir, pivot)
+    samp_diff = sampling.diffuse_sampling_pdf(normal, new_dir)
+    samp_spec = sampling.specular_sampling_pdf(
+        coming_dir, new_dir, normal, ref.perfect_dir, ref.n, ref.refracted
+    )
+    samp = jnp.where(ref.diffuse, samp_diff, samp_spec)
+    pdf = w * hittable + (1.0 - w) * samp
+
+    scat = sampling.scattering_pdf(normal, new_dir, ref.diffuse, coming_dir, ref.refracted)
+    factor = scat / jnp.pi / jnp.where(pdf != 0, pdf, 1.0)
+    factor = jnp.where(pdf != 0, factor, 0.0)
+    return new_dir, new_filter, factor
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("level", "hittable_pdf_weight", "stack_size", "sss_first_pass"),
+)
+def trace_paths(
+    scene: Scene,
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3) unit
+    key: jax.Array,
+    level: int = 8,
+    hittable_pdf_weight: float = 0.0,
+    stack_size: int = MATERIAL_STACK_SIZE,
+    sss_first_pass: bool = False,
+) -> jnp.ndarray:
+    """Radiance for a batch of rays (_compute_color, pathtracing.h:86-200).
+
+    One scan step == one bounce for every ray (wavefront).  Returns (R, 3).
+    """
+    r = origin.shape[0]
+    g = scene.geom
+    stack_ids, stack_len = materials.stack_init((r,), stack_size)
+
+    state = dict(
+        o=origin,
+        d=direction,
+        mask=jnp.ones((r, 3)),
+        acc=jnp.zeros((r, 3)),
+        live=jnp.ones((r,), bool),
+        stack_ids=stack_ids,
+        stack_len=stack_len,
+    )
+
+    def bounce(state, i):
+        bkey = jax.random.fold_in(key, i)
+        t, slot, bary, hit = bvh_mod.traverse_closest(
+            g.bvh, g.p, g.tol, state["o"], state["d"]
+        )
+        hit = hit & state["live"]
+
+        point, uv, normal, mat_id = interpolate_hit(
+            g, scene.materials, slot, bary
+        )
+
+        ref = materials.sample_bsdf(
+            scene.materials,
+            mat_id,
+            point,
+            state["d"],
+            normal,
+            uv,
+            state["stack_ids"],
+            state["stack_len"],
+            jax.random.fold_in(bkey, 17),
+        )
+
+        # NEE/MIS factor (skipped for false hits / SSS gathers)
+        if scene.light_tree is not None:
+            do_nee = hit & ~ref.false_hit & ~(ref.sss & jnp.bool_(not sss_first_pass))
+            new_dir, new_filter, nee_factor = _nee_mis(
+                scene, ref, normal, state["d"],
+                hittable_pdf_weight, jax.random.fold_in(bkey, 23),
+            )
+            next_dir = jnp.where(do_nee[..., None], new_dir, ref.dir)
+            filt = jnp.where(do_nee[..., None], new_filter, ref.filter)
+            factor = jnp.where(do_nee, nee_factor, 1.0)
+        else:
+            next_dir, filt, factor = ref.dir, ref.filter, jnp.ones((r,))
+
+        # emission accumulation + throughput update (pathtracing.h:164-183)
+        emit = scene.materials.emission_color(mat_id, uv)
+        real_hit = hit & ~ref.false_hit
+        acc = state["acc"] + jnp.where(
+            real_hit[..., None], linalg.de_nan(state["mask"] * emit), 0.0
+        )
+        cont = factor > 0
+        mask = jnp.where(
+            (real_hit & cont)[..., None],
+            state["mask"] * filt * jnp.clip(factor, 0.0, 0.9999)[..., None],
+            state["mask"],
+        )
+
+        # miss -> sky (pathtracing.h:186-196)
+        sky = _sky_color(scene, state["d"])
+        acc = acc + jnp.where(
+            (state["live"] & ~hit)[..., None],
+            linalg.de_nan(state["mask"] * sky),
+            0.0,
+        )
+
+        live = state["live"] & hit & (ref.false_hit | cont)
+
+        stack_ids, stack_len = materials.stack_rearrange(
+            state["stack_ids"],
+            state["stack_len"],
+            mat_id,
+            ref.false_hit,
+            ref.entering,
+            ref.refracted,
+            hit,
+        )
+
+        new_state = dict(
+            o=jnp.where(hit[..., None], ref.origin, state["o"]),
+            d=jnp.where(hit[..., None], next_dir, state["d"]),
+            mask=mask,
+            acc=acc,
+            live=live,
+            stack_ids=stack_ids,
+            stack_len=stack_len,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(level))
+    return linalg.de_nan(state["acc"])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "sample_size", "dof_sample_size", "level",
+        "hittable_pdf_weight", "stack_size",
+    ),
+)
+def render_image(
+    scene: Scene,
+    camera,
+    key: jax.Array,
+    width: int,
+    height: int,
+    sample_size: int = 16,
+    dof_sample_size: int = 1,
+    level: int = 8,
+    hittable_pdf_weight: float = 0.0,
+    stack_size: int = MATERIAL_STACK_SIZE,
+) -> jnp.ndarray:
+    """Full-frame render (path_tracing_render, pathtracing.h:252-305).
+
+    Samples are scanned sequentially (each a full wavefront over the pixel
+    batch) so HBM holds one ray batch regardless of spp.  Returns (H, W, 3)
+    linear radiance.
+    """
+    ii, jj = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix_i = ii.reshape(-1) + 0.5
+    pix_j = jj.reshape(-1) + 0.5
+
+    def one_sample(carry, s):
+        skey = jax.random.fold_in(key, s)
+        u1 = jax.random.uniform(jax.random.fold_in(skey, 0), pix_i.shape)
+        u2 = jax.random.uniform(jax.random.fold_in(skey, 1), pix_i.shape)
+        o, d = camera.generate_rays(pix_i, pix_j, u1, u2)
+        c = trace_paths(
+            scene, o, d, jax.random.fold_in(skey, 2),
+            level=level,
+            hittable_pdf_weight=hittable_pdf_weight,
+            stack_size=stack_size,
+        )
+        return carry + linalg.de_nan(c), None
+
+    total, _ = jax.lax.scan(
+        one_sample,
+        jnp.zeros((pix_i.shape[0], 3)),
+        jnp.arange(sample_size * dof_sample_size),
+    )
+    img = total / (sample_size * dof_sample_size)
+    return img.reshape(height, width, 3)

@@ -1,0 +1,123 @@
+"""Top-level rendering driver: master-file config -> image file.
+
+TPU-native equivalent of the reference's `main()` (`src/main.cu:61-1904`):
+parse the tab-separated master file, load OBJ/MTL + textures, build the
+device scene (BVHs, light tree, material table), dispatch on render_mode
+(1 = path tracing, 2 = SPPM), and write PPM/PNG output.
+
+Usage (CLI parity with main.cu:71-72):
+
+    python -m gpu_pathtracer_tpu.renderer <master_file_path> <image_output_path>
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import jax
+import numpy as np
+
+from gpu_pathtracer_tpu.models.camera import Camera
+from gpu_pathtracer_tpu.models.scene import Scene, build_scene
+from gpu_pathtracer_tpu.utils.config import RenderConfig, parse_master_file
+from gpu_pathtracer_tpu.utils.image import save_png, save_ppm
+from gpu_pathtracer_tpu.utils.obj_io import load_scene, _load_image_rgb
+
+
+def _log(stage: str):
+    """Stage timing banners (string_util.h:90-111)."""
+    class _Ctx:
+        def __enter__(self):
+            self.t0 = time.time()
+            print(f"[gpu_pathtracer_tpu] {stage} ...", flush=True)
+            return self
+
+        def __exit__(self, *exc):
+            print(
+                f"[gpu_pathtracer_tpu] {stage} done in {time.time() - self.t0:.2f}s",
+                flush=True,
+            )
+    return _Ctx()
+
+
+def load_scene_from_config(cfg: RenderConfig) -> tuple[Scene, Camera]:
+    with _log("scene load"):
+        host = load_scene(cfg.input_folder_path, cfg.obj_filename)
+        sky_image = None
+        if cfg.texture_bg_path:
+            p = pathlib.Path(cfg.texture_bg_path)
+            if not p.is_absolute():
+                p = pathlib.Path(cfg.input_folder_path) / p
+            if p.exists():
+                # reference decodes rows bottom-up (read_image_util.h:47-72)
+                sky_image = np.asarray(_load_image_rgb(p))[::-1]
+    with _log("device scene build"):
+        scene = build_scene(host, sky_emission=cfg.sky_emission, sky_image=sky_image)
+    camera = Camera.create(
+        eye=cfg.eye,
+        center=cfg.center,
+        up=cfg.up,
+        fovy_deg=cfg.fovy,
+        width=cfg.image_width,
+        height=cfg.image_height,
+        aperture=cfg.aperture,
+        focus_dist=cfg.focus_dist,
+    )
+    return scene, camera
+
+
+def render_from_config(cfg: RenderConfig, key=None) -> np.ndarray:
+    """Render and return (H, W, 3) linear radiance."""
+    from gpu_pathtracer_tpu.render import render_image
+
+    scene, camera = load_scene_from_config(cfg)
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    if cfg.render_mode == 2:
+        from gpu_pathtracer_tpu.render.sppm import render_sppm
+
+        with _log("SPPM render"):
+            img = render_sppm(scene, camera, cfg, key)
+    else:
+        with _log("path-tracing render"):
+            img = render_image(
+                scene,
+                camera,
+                key,
+                width=cfg.image_width,
+                height=cfg.image_height,
+                sample_size=cfg.pathtracing_sample_size,
+                dof_sample_size=cfg.dof_sample_size,
+                level=cfg.pathtracing_level,
+                hittable_pdf_weight=cfg.hittable_pdf_weight,
+                stack_size=cfg.max_stack,
+            )
+            img = np.asarray(jax.block_until_ready(img))
+    return np.asarray(img)
+
+
+def main(argv=None):
+    from gpu_pathtracer_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 1:
+        print(__doc__)
+        return 2
+    cfg = parse_master_file(argv[0])
+    if len(argv) > 1:
+        cfg.image_output_path = argv[1]
+    img = render_from_config(cfg)
+    out = pathlib.Path(cfg.image_output_path)
+    with _log(f"write {out}"):
+        if out.suffix.lower() == ".png":
+            save_png(img, out)
+        else:
+            save_ppm(img, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
