@@ -36,8 +36,22 @@ class GeometrySet:
     tangent: jnp.ndarray  # (T, 3, 3) NaN where degenerate (triangle.h:427)
     tol: jnp.ndarray  # (T,)
     mat_id: jnp.ndarray  # (T,) int32
+    obj_id: jnp.ndarray  # (T,) int32 usemtl-group index (object.h:13)
     valid: jnp.ndarray  # (T,) bool
     num_tris: int = 0
+
+
+@pytree_dataclass
+class SSSPoints:
+    """Surface point cloud for sub-surface scattering (Point, point.h:10-87):
+    one flat array across all SSS objects, gathered by object id."""
+
+    pos: jnp.ndarray  # (S, 3)
+    normal: jnp.ndarray  # (S, 3)
+    filter: jnp.ndarray  # (S, 3) kd texture at the sample (object_operations.h:136)
+    color: jnp.ndarray  # (S, 3) cached irradiance*albedo (first pass)
+    obj_id: jnp.ndarray  # (S,) int32
+    valid: jnp.ndarray  # (S,) bool
 
 
 @pytree_dataclass(meta=("num_lights", "has_sky_tex", "sky_h", "sky_w"))
@@ -48,6 +62,7 @@ class Scene:
     materials: materials.MaterialTable
     sky_emission: jnp.ndarray  # (3,)
     sky_rgb: jnp.ndarray  # (P, 3) equirect env image (1 px white default)
+    sss: SSSPoints | None = None
     num_lights: int = 0
     has_sky_tex: bool = False
     sky_h: int = 1
@@ -60,6 +75,7 @@ def _build_geometry_set(
     tri_uv: np.ndarray,
     tri_tangent: np.ndarray,
     mat_id: np.ndarray,
+    obj_id: np.ndarray,
     leaf_size: int,
 ) -> GeometrySet:
     p = jnp.asarray(tri_p)
@@ -77,6 +93,7 @@ def _build_geometry_set(
         tangent=jnp.asarray(tri_tangent[safe]),
         tol=intersect.triangle_tolerance(jnp.asarray(tri_p[safe])),
         mat_id=jnp.asarray(np.where(valid, mat_id[safe], 0), np.int32),
+        obj_id=jnp.asarray(np.where(valid, obj_id[safe], -1), np.int32),
         valid=jnp.asarray(valid),
         num_tris=int(tri_p.shape[0]),
     )
@@ -97,7 +114,7 @@ def build_scene(
 
     geom = _build_geometry_set(
         host.tri_p, host.tri_n, host.tri_uv, host.tri_tangent,
-        host.mat_idx, leaf_size,
+        host.mat_idx, host.object_idx, leaf_size,
     )
 
     # transparent subset (is_transparent <=> t_r > 0, material.h:532-534)
@@ -108,7 +125,8 @@ def build_scene(
         idx = np.nonzero(trans_mask)[0]
         transparent = _build_geometry_set(
             host.tri_p[idx], host.tri_n[idx], host.tri_uv[idx],
-            host.tri_tangent[idx], host.mat_idx[idx], leaf_size,
+            host.tri_tangent[idx], host.mat_idx[idx], host.object_idx[idx],
+            leaf_size,
         )
 
     # emissive subset -> light tree (emitter test: any vertex Ke-texture

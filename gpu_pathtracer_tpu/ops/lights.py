@@ -31,7 +31,7 @@ from gpu_pathtracer_tpu.ops import intersect, linalg
 from gpu_pathtracer_tpu.pytree import pytree_dataclass
 
 
-@pytree_dataclass(meta=("num_lights",))
+@pytree_dataclass(meta=("num_lights", "depth"))
 class LightTree:
     tree: bvh_mod.BVH  # leaf_size=1 radix tree over emitters
     node_energy: jnp.ndarray  # (2E-1, 3) energy sums (leaves = emitter energy)
@@ -45,6 +45,7 @@ class LightTree:
     tol: jnp.ndarray  # (E,) watertight-hit tolerance
     geom_slot: jnp.ndarray  # (E,) int32 row in the SORTED scene arrays
     num_lights: int = 0
+    depth: int = 1  # max leaf->root path length (static, for fori_loop pdfs)
 
 
 def build_light_tree(
@@ -87,6 +88,21 @@ def build_light_tree(
             lambda c: c[1], body, (node_energy, jnp.bool_(True))
         )
 
+    # static max depth (leaf -> root) for the differentiable pdf walk
+    if e > 1:
+        import numpy as np
+
+        parent_np = np.asarray(tree.parent)
+        depth = 1
+        cur = np.arange(e, dtype=np.int64) + (e - 1)
+        while (cur > 0).any():
+            cur = np.where(cur > 0, parent_np[np.maximum(cur, 0)], cur)
+            depth += 1
+            if depth > 2 * e + 2:  # defensive: malformed tree
+                break
+    else:
+        depth = 1
+
     avg_normal = linalg.normalize(jnp.mean(tri_n, axis=1), SMALL_EPS)
     return LightTree(
         tree=tree,
@@ -100,6 +116,7 @@ def build_light_tree(
         tol=intersect.triangle_tolerance(tri_p),
         geom_slot=geom_slot,
         num_lights=e,
+        depth=depth,
     )
 
 
@@ -206,11 +223,9 @@ def leaf_node_pdfs(
     pt = point[..., None, :]  # (R, 1, 3)
     pv = pivot[..., None, :]
 
-    def cond(state):
-        cur, _ = state
-        return jnp.any(cur > 0)  # root (node 0) has no parent
-
-    def body(state):
+    # bounded walk (lt.depth is static) so the pdf is reverse-differentiable
+    # w.r.t. emitter energies — lax.while_loop would block backprop
+    def body(_, state):
         cur, pdf = state
         live = cur > 0
         safe = jnp.maximum(cur, 0)
@@ -226,8 +241,9 @@ def leaf_node_pdfs(
         pdf = jnp.where(live, pdf * ratio, pdf)
         return jnp.where(live, par, cur), pdf
 
-    _, pdf = jax.lax.while_loop(
-        cond,
+    _, pdf = jax.lax.fori_loop(
+        0,
+        lt.depth,
         body,
         (
             jnp.broadcast_to(leaf_nodes, point.shape[:-1] + (e,)),

@@ -145,6 +145,8 @@ def trace_paths(
         live=jnp.ones((r,), bool),
         stack_ids=stack_ids,
         stack_len=stack_len,
+        sss_color=jnp.zeros((r, 3)),
+        sss_done=jnp.zeros((r,), bool),
     )
 
     def bounce(state, i):
@@ -206,6 +208,26 @@ def trace_paths(
 
         live = state["live"] & hit & (ref.false_hit | cont)
 
+        # SSS diffuse hit: the path's radiance IS the point-cloud gather
+        # (pathtracing.h:140-142 returns compute_color_sss, discarding acc)
+        sss_color = state["sss_color"]
+        sss_done = state["sss_done"]
+        if (scene.sss is not None) and (not sss_first_pass):
+            from gpu_pathtracer_tpu.render import sss as sss_mod
+
+            sss_now = hit & ref.sss & ~sss_done
+            gathered = sss_mod.gather_sss(
+                scene.sss,
+                point,
+                g.obj_id[jnp.maximum(slot, 0)],
+                scene.materials.path_length[jnp.maximum(mat_id, 0)],
+                scene.materials.diffuse_color(mat_id, uv),
+                sss_now,
+            )
+            sss_color = jnp.where(sss_now[..., None], gathered, sss_color)
+            sss_done = sss_done | sss_now
+            live = live & ~sss_now
+
         stack_ids, stack_len = materials.stack_rearrange(
             state["stack_ids"],
             state["stack_len"],
@@ -224,11 +246,14 @@ def trace_paths(
             live=live,
             stack_ids=stack_ids,
             stack_len=stack_len,
+            sss_color=sss_color,
+            sss_done=sss_done,
         )
         return new_state, None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(level))
-    return linalg.de_nan(state["acc"])
+    out = jnp.where(state["sss_done"][..., None], state["sss_color"], state["acc"])
+    return linalg.de_nan(out)
 
 
 @functools.partial(

@@ -1,0 +1,945 @@
+"""Stochastic progressive photon mapping (SPPM) with participating media.
+
+TPU-native re-derivation of the reference's SPPM mode (`src/render/ppm/`,
+`src/model/bvh/bvh_traversal_photon.h`, `src/model/point/ppm_hit_point.h`,
+driver `src/main.cu:1213-1869`):
+
+* eye pass (`ray_tracing_pass.h:491-594`): per pixel, trace through the
+  specular/refractive chain to the first diffuse hit (wavefront while_loop,
+  hard cap 64 bounces like `:210`), accumulating `filter_2` products and the
+  per-segment Beer-Lambert transmittance; at the diffuse hit compute direct
+  radiance via light sampling + a forced-refraction shadow chain
+  (`_compute_direct_radiance`, `:19-142`); on the init pass shoot 4 corner
+  rays and set the initial gather radius to the min pairwise hit distance
+  (`:542-583`), then assign the average radius to invalid pixels
+  (`:394-450`).
+* photon pass (`photon_pass.h:98-237`): emit from emitters ∝ mean-energy CDF,
+  bounce with the dielectric stack; in media, sample propagation distances
+  and deposit VOLUME photons on scatter events; on surfaces, Russian
+  roulette on max(k) and deposit SURFACE photons at diffuse hits after the
+  first bounce.  Faithful to the reference's control flow including its
+  move-by-new-distance-along-old-direction medium march.
+* photon maps: instead of the reference's per-pass photon LBVH rebuild, the
+  gathers are batched all-pairs reductions over the (bounded, static-shape)
+  photon arrays — radius queries become masked vector ops, the visibility
+  re-check (`bvh_traversal_photon.h:140-156`) shoots rays for the K nearest
+  candidates per pixel.
+* per-pixel SPPM state update (`ppm_hit_point.h:115-171`): flux -> radiance
+  `filter * Φ / (N_emitted * π * r²)`, radius schedule
+  `r *= ((i+α)/(i+1))^(1/2)` surface and `^(1/3)` volume from iteration 2.
+
+Deviation noted: the reference's volume gather accumulates its per-photon
+temporary without reset (`bvh_traversal_photon.h:63-77`), super-linearly
+over-counting photons within one traversal; this implementation computes the
+mathematically intended sum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE, SMALL_EPS
+from gpu_pathtracer_tpu.ops import bvh as bvh_mod
+from gpu_pathtracer_tpu.ops import lights as lights_mod
+from gpu_pathtracer_tpu.ops import linalg, materials, sampling
+from gpu_pathtracer_tpu.models.scene import Scene
+from gpu_pathtracer_tpu.pytree import pytree_dataclass
+from gpu_pathtracer_tpu.render.integrator import interpolate_hit
+
+
+# ---------------------------------------------------------------------------
+# media helpers (material.h:199-228, ppm/common.h:8-39)
+# ---------------------------------------------------------------------------
+
+def extinction_coef(table, mat_id):
+    safe = jnp.maximum(mat_id, 0)
+    ext = table.scattering_coef[safe] + table.absorption_coef[safe]
+    return jnp.where(mat_id < 0, 0.0, ext)
+
+
+def transmittance(table, mat_id, dist):
+    """Beer-Lambert exp(-t*sigma_t); 1 outside media (material.h:223-228)."""
+    ext = extinction_coef(table, mat_id)
+    return jnp.where(ext > SMALL_EPS, jnp.exp(-dist * ext), 1.0)
+
+
+def scattering_prob(table, mat_id):
+    safe = jnp.maximum(mat_id, 0)
+    ext = extinction_coef(table, mat_id)
+    return jnp.where(
+        ext > 0, table.scattering_coef[safe] / jnp.maximum(ext, 1e-20), 0.0
+    )
+
+
+def check_entering_medium(table, ref, in_medium, medium_id):
+    """ppm/common.h:8-24."""
+    entering = (
+        ~ref.false_hit
+        & (ref.next_mat >= 0)
+        & (extinction_coef(table, ref.next_mat) > SMALL_EPS)
+    ) | (ref.false_hit & in_medium)
+    new_medium = jnp.where(entering, ref.next_mat, medium_id)
+    return entering, new_medium
+
+
+def sample_hg_direction(table, medium_id, current_dir, key):
+    """HG scattering direction (material.h:208-221): sample cos(theta) by
+    inverse CDF, build the new direction in the ONB of the current one."""
+    shape = medium_id.shape
+    u1 = jax.random.uniform(jax.random.fold_in(key, 0), shape)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 1), shape)
+    g = table.g[jnp.maximum(medium_id, 0)]
+    cos_t = jnp.clip(sampling.henyey_greenstein_cos_theta(g, u1), -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    x, y, z = linalg.onb_from_z(current_dir)
+    return linalg.to_world(x, y, z, local)
+
+
+def sample_propagation_distance(table, medium_id, key):
+    """-ln(xi)/sigma_t (material.h:203-206)."""
+    u = jax.random.uniform(key, medium_id.shape, minval=1e-12, maxval=1.0)
+    ext = extinction_coef(table, medium_id)
+    return -jnp.log(u) / jnp.maximum(ext, 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# dielectric-stack initialization (material_list_operations.h:60-92)
+# ---------------------------------------------------------------------------
+
+def init_material_stack(
+    scene: Scene,
+    point: jnp.ndarray,  # (R, 3) start points (camera eye / photon origin)
+    init_dir: jnp.ndarray,  # (R, 3) probe direction
+    key: jax.Array,
+    stack_size: int = MATERIAL_STACK_SIZE,
+    max_steps: int = 8,
+):
+    """March from far away (t=999) back toward `point` through the
+    transparent-geometry BVH with forced refraction, pushing/popping media so
+    a camera inside glass/water starts with the right stack."""
+    r = point.shape[0]
+    ids, length = materials.stack_init((r,), stack_size)
+    tset = scene.transparent
+    if tset is None:
+        return ids, length
+
+    t_rem0 = jnp.full((r,), 999.0)
+    origin0 = point + t_rem0[..., None] * init_dir
+    probe_dir = -init_dir
+
+    def body(i, carry):
+        ids, length, origin, t_rem, live = carry
+        t, slot, bary, hit = bvh_mod.traverse_closest(
+            tset.bvh, tset.p, tset.tol, origin, probe_dir
+        )
+        live = live & hit & (t_rem - t > SMALL_EPS)
+        t_rem = jnp.where(live, t_rem - t, t_rem)
+        pt, uv, normal, mat_id = interpolate_hit(tset, scene.materials, slot, bary)
+        ref = materials.sample_bsdf(
+            scene.materials, mat_id, pt, probe_dir, normal, uv,
+            ids, length, jax.random.fold_in(key, i), force_refract=True,
+        )
+        ids, length = materials.stack_rearrange(
+            ids, length, mat_id, ref.false_hit, ref.entering, ref.refracted, live
+        )
+        origin = jnp.where(live[..., None], pt, origin)
+        return ids, length, origin, t_rem, live
+
+    ids, length, _, _, _ = jax.lax.fori_loop(
+        0, max_steps, body,
+        (ids, length, origin0, t_rem0, jnp.ones((r,), bool)),
+    )
+    return ids, length
+
+
+# ---------------------------------------------------------------------------
+# photon map
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class Photons:
+    pos: jnp.ndarray  # (P, 3)
+    color: jnp.ndarray  # (P, 3)
+    direction: jnp.ndarray  # (P, 3) travel direction at deposit
+    prev: jnp.ndarray  # (P, 3) previous interaction location
+    on_surface: jnp.ndarray  # (P,) bool
+    valid: jnp.ndarray  # (P,) bool
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_photons", "max_bounce", "stack_size")
+)
+def photon_pass(
+    scene: Scene,
+    key: jax.Array,
+    n_photons: int,
+    max_bounce: int = 16,
+    stack_size: int = MATERIAL_STACK_SIZE,
+) -> Photons:
+    """Wavefront photon tracing (photon_pass.h:98-237)."""
+    lt = scene.light_tree
+    table = scene.materials
+    g = scene.geom
+    p_shape = (n_photons,)
+
+    # emitter pick ∝ accumulated mean energy (photon_pass.h:60-95)
+    mean_energy = linalg.de_nan(jnp.mean(lt.node_energy[lt.num_lights - 1 :], axis=-1))
+    acc = jnp.cumsum(mean_energy)
+    max_energy = acc[-1]
+    u_pick = jax.random.uniform(jax.random.fold_in(key, 0), p_shape)
+    leaf = jnp.clip(
+        jnp.searchsorted(acc, u_pick * max_energy), 0, lt.num_lights - 1
+    ).astype(jnp.int32)
+
+    # uniform point + interpolated attributes on the emitter
+    u1 = jax.random.uniform(jax.random.fold_in(key, 1), p_shape)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 2), p_shape)
+    s = jnp.sqrt(jnp.maximum(u1, 0.0))
+    bu = 1.0 - s
+    bv = u2 * s
+    bary = jnp.stack([bu, bv, 1.0 - bu - bv], axis=-1)
+    point = jnp.sum(bary[..., None] * lt.tri_p[leaf], axis=-2)
+    normal = linalg.normalize(
+        jnp.sum(bary[..., None] * lt.tri_n[leaf], axis=-2), SMALL_EPS
+    )
+    uv = jnp.sum(bary[..., None] * lt.tri_uv[leaf], axis=-2)
+    mat_id = g.mat_id[lt.geom_slot[leaf]]
+
+    # photon color normalized to constant mean energy (photon_pass.h:134-137)
+    color = table.emission_color(mat_id, uv)
+    color = color * (max_energy / jnp.maximum(jnp.mean(color, axis=-1), 1e-20))[..., None]
+    mean_color = jnp.mean(color, axis=-1)
+
+    # fake incoming ray (Triangle::get_random_point_on_surface,
+    # triangle.h:214-221): hemisphere sample about the normal, negated
+    u3 = jax.random.uniform(jax.random.fold_in(key, 3), p_shape)
+    u4 = jax.random.uniform(jax.random.fold_in(key, 4), p_shape)
+    coming_dir = -sampling.generate_direction(
+        normal, normal, jnp.full(p_shape, 2, jnp.int32), jnp.ones(p_shape),
+        u3, u4,
+    )
+
+    stack_ids, stack_len = init_material_stack(
+        scene, point, normal, jax.random.fold_in(key, 5), stack_size
+    )
+
+    PH_SURF, PH_MARCH = 0, 1
+    state = dict(
+        # current surface interaction
+        pt=point, nrm=normal, uv=uv, mat=mat_id, coming=coming_dir,
+        # current march ray (phase MARCH)
+        m_o=point, m_d=coming_dir, m_dsamp=jnp.zeros(p_shape),
+        m_t=jnp.zeros(p_shape), m_pt=point,
+        color=color,
+        prev=point,
+        stack_ids=stack_ids, stack_len=stack_len,
+        in_medium=jnp.zeros(p_shape, bool),
+        medium=jnp.full(p_shape, -1, jnp.int32),
+        scattered_ever=jnp.zeros(p_shape, bool),
+        dcs=jnp.zeros(p_shape, bool),  # direct_check_surface
+        phase=jnp.full(p_shape, PH_SURF, jnp.int32),
+        nb=jnp.full(p_shape, -1, jnp.int32),
+        alive=jnp.ones(p_shape, bool),
+        # deposit slots
+        d_pos=jnp.full((n_photons, 3), jnp.inf),
+        d_color=jnp.ones((n_photons, 3)),
+        d_dir=jnp.zeros((n_photons, 3)),
+        d_prev=jnp.zeros((n_photons, 3)),
+        d_surf=jnp.zeros(p_shape, bool),
+        d_valid=jnp.zeros(p_shape, bool),
+        step=jnp.int32(0),
+    )
+
+    max_steps = 4 * max_bounce + 32
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["step"] < max_steps)
+
+    def body(st):
+        skey = jax.random.fold_in(key, 100 + st["step"])
+        surf = st["alive"] & (st["phase"] == PH_SURF)
+        march = st["alive"] & (st["phase"] == PH_MARCH)
+
+        # ---------------- SURF step ----------------
+        nb = jnp.where(surf, st["nb"] + 1, st["nb"])
+        ref = materials.sample_bsdf(
+            table, st["mat"], st["pt"], st["coming"], st["nrm"], st["uv"],
+            st["stack_ids"], st["stack_len"], jax.random.fold_in(skey, 0),
+        )
+        stack_ids, stack_len = materials.stack_rearrange(
+            st["stack_ids"], st["stack_len"], st["mat"],
+            ref.false_hit, ref.entering, ref.refracted, surf & (nb > 0),
+        )
+        entering_m, medium = check_entering_medium(
+            table, ref, st["in_medium"], st["medium"]
+        )
+        in_medium = jnp.where(surf, entering_m, st["in_medium"])
+        medium = jnp.where(surf, medium, st["medium"])
+
+        want_march = surf & ~ref.false_hit & in_medium & ~st["dcs"]
+        d_samp = sample_propagation_distance(
+            table, medium, jax.random.fold_in(skey, 1)
+        )
+        # traverse the BSDF ray (used by march decision AND normal advance)
+        t_next, slot_next, bary_next, hit_next = bvh_mod.traverse_closest(
+            g.bvh, g.p, g.tol, ref.origin, ref.dir
+        )
+        t_for_march = jnp.where(hit_next, t_next, jnp.inf)
+        march_now = want_march & (d_samp - t_for_march < SMALL_EPS)
+        dcs = jnp.where(want_march & ~march_now, True, st["dcs"])
+
+        # Russian roulette on surfaces (photon_pass.h:206-227)
+        do_rr = surf & ~march_now & ~ref.false_hit & (nb > 0)
+        u_rr = jax.random.uniform(jax.random.fold_in(skey, 2), p_shape)
+        k_max = jnp.max(ref.k, axis=-1)
+        absorbed = do_rr & (u_rr > k_max)
+        deposit_surf = (
+            absorbed & ref.diffuse & ((nb > 1) | st["scattered_ever"])
+        )
+        new_color = st["color"] * ref.k
+        mean_tmp = jnp.maximum(jnp.mean(new_color, axis=-1), 1e-20)
+        new_color = new_color * (mean_color / mean_tmp)[..., None]
+        survive = do_rr & ~absorbed
+        color = jnp.where(survive[..., None], new_color, st["color"])
+        dcs = jnp.where(survive, False, dcs)
+
+        # advance to the next surface (skipped when entering a march)
+        advance = surf & ~march_now & ~absorbed
+        pt_n, uv_n, nrm_n, mat_n = interpolate_hit(
+            g, table, slot_next, bary_next
+        )
+        prev = jnp.where(advance[..., None], st["pt"], st["prev"])
+        new_pt = jnp.where(advance[..., None], pt_n, st["pt"])
+        new_nrm = jnp.where(advance[..., None], nrm_n, st["nrm"])
+        new_uv = jnp.where(advance[..., None], uv_n, st["uv"])
+        new_mat = jnp.where(advance, mat_n, st["mat"])
+        new_coming = jnp.where(advance[..., None], ref.dir, st["coming"])
+        alive = st["alive"] & jnp.where(
+            advance, hit_next & (nb < max_bounce), ~absorbed
+        )
+
+        # enter march: record the march ray + its surface hit
+        m_o = jnp.where(march_now[..., None], ref.origin, st["m_o"])
+        m_d = jnp.where(march_now[..., None], ref.dir, st["m_d"])
+        m_dsamp = jnp.where(march_now, d_samp, st["m_dsamp"])
+        m_t = jnp.where(march_now, t_for_march, st["m_t"])
+        m_pt = jnp.where(march_now[..., None], pt_n, st["m_pt"])
+        m_slot = slot_next  # only consumed on march exit below
+        phase = jnp.where(march_now, PH_MARCH, st["phase"])
+        scattered_ever = st["scattered_ever"] | march_now
+
+        # ---------------- MARCH step ----------------
+        u_sc = jax.random.uniform(jax.random.fold_in(skey, 3), p_shape)
+        p_s = scattering_prob(table, medium)
+        deposit_vol = march & (u_sc < p_s)
+        keep_march = march & ~deposit_vol
+        hg_dir = sample_hg_direction(
+            table, medium, m_d, jax.random.fold_in(skey, 4)
+        )
+        d_new = sample_propagation_distance(
+            table, medium, jax.random.fold_in(skey, 5)
+        )
+        # move by the NEW distance along the OLD direction, then turn
+        # (photon_pass.h:191-194, faithful to the reference's ordering)
+        o_new = m_o + d_new[..., None] * m_d
+        prev = jnp.where(keep_march[..., None], m_pt, prev)
+        t_m, slot_m, bary_m, hit_m = bvh_mod.traverse_closest(
+            g.bvh, g.p, g.tol, o_new, hg_dir
+        )
+        t_m_eff = jnp.where(hit_m, t_m, jnp.inf)
+        still = keep_march & (d_new - t_m_eff < SMALL_EPS)
+        exit_march = keep_march & ~still
+
+        m_o = jnp.where(keep_march[..., None], o_new, m_o)
+        m_d = jnp.where(keep_march[..., None], hg_dir, m_d)
+        m_dsamp = jnp.where(keep_march, d_new, m_dsamp)
+        mp_new, muv_new, mnrm_new, mmat_new = interpolate_hit(
+            g, table, slot_m, bary_m
+        )
+        m_pt = jnp.where(keep_march[..., None], mp_new, m_pt)
+
+        # march exit -> the surface hit becomes the next interaction
+        new_pt = jnp.where(exit_march[..., None], mp_new, new_pt)
+        new_nrm = jnp.where(exit_march[..., None], mnrm_new, new_nrm)
+        new_uv = jnp.where(exit_march[..., None], muv_new, new_uv)
+        new_mat = jnp.where(exit_march, mmat_new, new_mat)
+        new_coming = jnp.where(exit_march[..., None], m_d, new_coming)
+        phase = jnp.where(exit_march, PH_SURF, phase)
+        dcs = jnp.where(exit_march, True, dcs)
+        alive = alive & jnp.where(exit_march, hit_m, True)
+
+        # deposits (once per photon)
+        can = ~st["d_valid"]
+        dep_s = deposit_surf & can
+        dep_v = deposit_vol & can
+        vol_pos = m_o + m_dsamp[..., None] * m_d
+        d_pos = jnp.where(
+            dep_s[..., None], st["pt"],
+            jnp.where(dep_v[..., None], vol_pos, st["d_pos"]),
+        )
+        d_color = jnp.where((dep_s | dep_v)[..., None], color, st["d_color"])
+        d_dir = jnp.where(
+            dep_s[..., None], st["coming"],
+            jnp.where(dep_v[..., None], m_d, st["d_dir"]),
+        )
+        d_prev = jnp.where((dep_s | dep_v)[..., None], st["prev"], st["d_prev"])
+        d_surf = jnp.where(dep_s, True, st["d_surf"])
+        d_valid = st["d_valid"] | dep_s | dep_v
+        alive = alive & ~deposit_vol  # volume deposit terminates the photon
+
+        return dict(
+            pt=new_pt, nrm=new_nrm, uv=new_uv, mat=new_mat, coming=new_coming,
+            m_o=m_o, m_d=m_d, m_dsamp=m_dsamp, m_t=m_t, m_pt=m_pt,
+            color=color, prev=prev,
+            stack_ids=stack_ids, stack_len=stack_len,
+            in_medium=in_medium, medium=medium,
+            scattered_ever=scattered_ever, dcs=dcs, phase=phase,
+            nb=nb, alive=alive,
+            d_pos=d_pos, d_color=d_color, d_dir=d_dir, d_prev=d_prev,
+            d_surf=d_surf, d_valid=d_valid,
+            step=st["step"] + 1,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return Photons(
+        pos=st["d_pos"],
+        color=st["d_color"],
+        direction=st["d_dir"],
+        prev=st["d_prev"],
+        on_surface=st["d_surf"],
+        valid=st["d_valid"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# gathers
+# ---------------------------------------------------------------------------
+
+def volume_gather_segment(
+    table,
+    photons: Photons,
+    medium_id: jnp.ndarray,  # (R,)
+    seg_start: jnp.ndarray,  # (R, 3)
+    seg_dir: jnp.ndarray,  # (R, 3) unit
+    seg_len: jnp.ndarray,  # (R,)
+    vol_radius: jnp.ndarray,  # (R,)
+    enable: jnp.ndarray,  # (R,)
+) -> jnp.ndarray:
+    """Volumetric beam gather along a camera-path segment
+    (traverse_bvh_volume_photon + compute_ppm_volume_kernel,
+    bvh_traversal_photon.h:15-106, ppm_hit_point.h:47-60): photons inside the
+    cylinder contribute kernel * transmittance * sigma_s * phase * color."""
+    vphot = photons.valid & ~photons.on_surface  # (P,)
+    w = photons.pos[None, :, :] - seg_start[:, None, :]  # (R, P, 3)
+    d_par = jnp.sum(w * seg_dir[:, None, :], axis=-1)  # (R, P)
+    d_perp = linalg.length(w - d_par[..., None] * seg_dir[:, None, :])
+    r = jnp.maximum(vol_radius[:, None], 1e-20)
+    inside = (
+        vphot[None, :]
+        & enable[:, None]
+        & (d_par >= 0)
+        & (d_par <= seg_len[:, None])
+        & (d_perp <= r)
+    )
+    kernel = (1.0 / (r * r)) * sampling.silverman_biweight(d_perp / r)
+    tr = transmittance(table, medium_id[:, None], d_par)
+    sigma_s = table.scattering_coef[jnp.maximum(medium_id, 0)]
+    phase = sampling.henyey_greenstein_pdf(
+        table.g[jnp.maximum(medium_id, 0)][:, None],
+        seg_dir[:, None, :],
+        photons.direction[None, :, :],
+    )
+    contrib = (
+        (kernel > SMALL_EPS)
+        * inside
+        * kernel
+        * tr
+        * sigma_s[:, None]
+        * phase
+    )[..., None] * photons.color[None, :, :]
+    return jnp.sum(linalg.de_nan(contrib), axis=1)
+
+
+def surface_gather(
+    scene: Scene,
+    photons: Photons,
+    hp_loc: jnp.ndarray,  # (R, 3)
+    hp_normal: jnp.ndarray,  # (R, 3)
+    hp_radius: jnp.ndarray,  # (R,)
+    hp_valid: jnp.ndarray,  # (R,)
+    k_nearest: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Surface photon gather with per-photon visibility re-check
+    (_traverse_bvh_surface_photon, bvh_traversal_photon.h:108-205).
+
+    For each hit point, the K nearest in-radius photons are visibility-tested
+    with a ray toward each photon's previous location; the photon counts iff
+    the closest geometry hit lies beyond that location (`:151`).  K bounds the
+    per-pixel work to keep the op static-shape; in-radius photons beyond the
+    K nearest are dropped (the reference is unbounded here).
+    """
+    g = scene.geom
+    sphot = photons.valid & photons.on_surface  # (P,)
+    d2 = jnp.sum(
+        (photons.pos[None, :, :] - hp_loc[:, None, :]) ** 2, axis=-1
+    )  # (R, P)
+    in_r = sphot[None, :] & hp_valid[:, None] & (
+        d2 <= (hp_radius[:, None] ** 2)
+    )
+    key_val = jnp.where(in_r, -d2, -jnp.inf)
+    k = min(k_nearest, photons.pos.shape[0])
+    top_val, top_idx = jax.lax.top_k(key_val, k)  # (R, K)
+    cand_ok = jnp.isfinite(top_val)
+
+    # visibility rays toward each candidate's prev location
+    prev = photons.prev[top_idx]  # (R, K, 3)
+    ray_vec = prev - hp_loc[:, None, :]
+    ray_len = linalg.length(ray_vec)
+    ray_dir = linalg.normalize(ray_vec, SMALL_EPS)
+    r, kk = ray_dir.shape[:2]
+    t, _, _, hit = bvh_mod.traverse_closest(
+        g.bvh, g.p, g.tol,
+        jnp.broadcast_to(hp_loc[:, None, :], (r, kk, 3)).reshape(-1, 3),
+        ray_dir.reshape(-1, 3),
+    )
+    t = t.reshape(r, kk)
+    hit = hit.reshape(r, kk)
+    visible = cand_ok & hit & (t > ray_len)
+
+    pdir = photons.direction[top_idx]  # (R, K, 3)
+    fac = jnp.maximum(
+        0.0, jnp.sum(hp_normal[:, None, :] * (-pdir), axis=-1)
+    )
+    flux = jnp.sum(
+        (visible * fac)[..., None] * photons.color[top_idx], axis=1
+    )
+    count = jnp.sum(visible, axis=-1)
+    return flux, count
+
+
+# ---------------------------------------------------------------------------
+# eye pass
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class HitPoints:
+    """Per-pixel SPPM state (PPMHitPoint, ppm_hit_point.h:9-45)."""
+
+    loc: jnp.ndarray  # (R, 3) inf = invalid
+    normal: jnp.ndarray  # (R, 3)
+    filter: jnp.ndarray  # (R, 3)
+    direct: jnp.ndarray  # (R, 3) accumulated direct radiance
+    indirect: jnp.ndarray  # (R, 3) accumulated photon radiance
+    tmp_lm: jnp.ndarray  # (R, 3) this pass's volume gather
+    surface_radius: jnp.ndarray  # (R,)
+    volume_radius: jnp.ndarray  # (R,)
+    valid: jnp.ndarray  # (R,) diffuse hit found
+
+
+def _direct_radiance_chain(
+    scene: Scene,
+    diff_pt, diff_nrm, diff_uv, diff_mat, diff_coming,
+    filter_base,  # (R, 3) filter_lag at the diffuse hit
+    stack_ids, stack_len,
+    in_medium, medium,
+    enable,  # (R,)
+    key,
+    max_steps: int = 8,
+):
+    """_compute_direct_radiance (ray_tracing_pass.h:19-142): light-sample the
+    diffuse ref (hittable weight 1), then follow a forced-refraction chain
+    through transparent geometry accumulating transmittance, adding emission
+    at diffuse hits; clamp to <= 1 per channel."""
+    table = scene.materials
+    g = scene.geom
+    r = diff_mat.shape[0]
+
+    emittance = filter_base * table.emission_color(diff_mat, diff_uv)
+
+    # re-sample the diffuse bounce like check_next_path did, then redirect
+    ref = materials.sample_bsdf(
+        table, diff_mat, diff_pt, diff_coming, diff_nrm, diff_uv,
+        stack_ids, stack_len, jax.random.fold_in(key, 0),
+    )
+    lt = scene.light_tree
+    pivot = jnp.where(ref.diffuse[..., None], diff_nrm, ref.perfect_dir)
+    leaf = lights_mod.pick_light(lt, diff_pt, pivot, jax.random.fold_in(key, 1))
+    u1 = jax.random.uniform(jax.random.fold_in(key, 2), (r,))
+    u2 = jax.random.uniform(jax.random.fold_in(key, 3), (r,))
+    target = lights_mod.sample_point_on_light(lt, leaf, u1, u2)
+    new_dir = linalg.normalize(target - diff_pt, SMALL_EPS)
+    refilter = ref.reflected | ref.refracted
+    filt_redir = sampling.phong_filter(ref.k, ref.n, pivot, new_dir)
+    ref_filter = jnp.where(refilter[..., None], filt_redir, ref.filter)
+
+    hittable = lights_mod.hittable_pdf_sum(lt, diff_pt, new_dir, pivot)
+    scat = sampling.scattering_pdf(
+        diff_nrm, new_dir, ref.diffuse, diff_coming, ref.refracted
+    )
+    factor = scat / jnp.pi / jnp.where(hittable != 0, hittable, 1.0)
+    factor = jnp.where(hittable != 0, factor, 0.0)
+
+    state = dict(
+        o=diff_pt, d=new_dir,
+        filt=filter_base * ref_filter,
+        stack_ids=stack_ids, stack_len=stack_len,
+        prev_in_medium=in_medium, prev_medium=medium,
+        in_medium=in_medium, medium=medium,
+        prev_pt=diff_pt,
+        direct=jnp.zeros((r, 3)),
+        live=enable,
+    )
+
+    def body(i, st):
+        t, slot, bary, hit = bvh_mod.traverse_closest(
+            g.bvh, g.p, g.tol, st["o"], st["d"]
+        )
+        live = st["live"] & hit
+        pt, uv, nrm, mat = interpolate_hit(g, table, slot, bary)
+        ref2 = materials.sample_bsdf(
+            table, mat, pt, st["d"], nrm, uv,
+            st["stack_ids"], st["stack_len"],
+            jax.random.fold_in(key, 10 + i), force_refract=True,
+        )
+        stack_ids2, stack_len2 = materials.stack_rearrange(
+            st["stack_ids"], st["stack_len"], mat,
+            ref2.false_hit, ref2.entering, ref2.refracted, live,
+        )
+        in_m, med = check_entering_medium(
+            table, ref2, st["in_medium"], st["medium"]
+        )
+        in_m = jnp.where(live, in_m, st["in_medium"])
+        med = jnp.where(live, med, st["medium"])
+
+        seg_l = linalg.length(pt - st["prev_pt"])
+        tr = transmittance(table, st["prev_medium"], seg_l)
+        apply_tr = live & ~ref2.false_hit & st["prev_in_medium"]
+        filt = st["filt"] * jnp.where(apply_tr[..., None], tr[..., None], 1.0)
+        filt = jnp.where(live[..., None], filt * ref2.filter_2, filt)
+
+        add = live & ~ref2.false_hit & ref2.diffuse
+        emit = table.emission_color(mat, uv)
+        direct = st["direct"] + jnp.where(
+            add[..., None],
+            filt * jnp.clip(factor, 0.0, 0.999999)[..., None] * emit,
+            0.0,
+        )
+
+        stop = live & (~ref2.refracted | ref2.bent)
+        upd = live & ~ref2.false_hit
+        return dict(
+            o=jnp.where(live[..., None], pt, st["o"]),
+            d=jnp.where(live[..., None], ref2.dir, st["d"]),
+            filt=filt,
+            stack_ids=stack_ids2, stack_len=stack_len2,
+            prev_in_medium=jnp.where(upd, in_m, st["prev_in_medium"]),
+            prev_medium=jnp.where(upd, med, st["prev_medium"]),
+            in_medium=in_m, medium=med,
+            prev_pt=jnp.where(upd[..., None], pt, st["prev_pt"]),
+            direct=direct,
+            live=live & ~stop,
+        )
+
+    st = jax.lax.fori_loop(0, max_steps, body, state)
+    out = st["direct"] + jnp.where(enable[..., None], emittance, 0.0)
+    return jnp.minimum(out, 1.0)
+
+
+def eye_pass(
+    scene: Scene,
+    camera,
+    key: jax.Array,
+    pix_i: jnp.ndarray,  # (R,) pixel row + offset
+    pix_j: jnp.ndarray,  # (R,) pixel col + offset
+    volume_photons: Photons | None,
+    volume_radius: jnp.ndarray,  # (R,)
+    init: bool,
+    max_bounce: int = 64,
+    stack_size: int = MATERIAL_STACK_SIZE,
+):
+    """One eye trace per pixel to the first diffuse hit
+    (_get_hit_point_details, ray_tracing_pass.h:171-392).
+
+    Returns (loc, normal, filter, direct_radiance, tmp_lm, valid).
+    """
+    table = scene.materials
+    g = scene.geom
+    r = pix_i.shape[0]
+
+    o, d = camera.generate_rays(
+        pix_i, pix_j,
+        jax.random.uniform(jax.random.fold_in(key, 0), (r,)),
+        jax.random.uniform(jax.random.fold_in(key, 1), (r,)),
+    )
+    stack_ids, stack_len = init_material_stack(
+        scene, o, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (r, 3)),
+        jax.random.fold_in(key, 2), stack_size,
+    )
+    # _set_init_ref + medium check at the camera (ray_tracing_pass.h:226-236)
+    hp0, _ = materials.find_highest_prioritised(table, stack_ids, stack_len)
+    in_medium0 = extinction_coef(table, hp0) > SMALL_EPS
+    medium0 = jnp.where(in_medium0, hp0, -1)
+
+    state = dict(
+        o=o, d=d,
+        filt=jnp.ones((r, 3)), filt_lag=jnp.ones((r, 3)),
+        pdf=jnp.ones((r,)), pdf_lag=jnp.ones((r,)),
+        stack_ids=stack_ids, stack_len=stack_len,
+        in_medium=in_medium0, medium=medium0,
+        prev_in_medium=in_medium0, prev_medium=medium0,
+        prev_pt=o,
+        tmp_lm=jnp.zeros((r, 3)),
+        live=jnp.ones((r,), bool),
+        found=jnp.zeros((r,), bool),
+        # recorded diffuse-hit info
+        h_pt=jnp.full((r, 3), jnp.inf), h_nrm=jnp.zeros((r, 3)),
+        h_uv=jnp.zeros((r, 2)), h_mat=jnp.zeros((r,), jnp.int32),
+        h_coming=d, h_filt_lag=jnp.ones((r, 3)),
+        h_stack_ids=stack_ids, h_stack_len=stack_len,
+        h_in_medium=in_medium0, h_medium=medium0,
+        step=jnp.int32(0),
+    )
+
+    def cond(st):
+        return jnp.any(st["live"]) & (st["step"] < max_bounce)
+
+    def body(st):
+        bkey = jax.random.fold_in(key, 50 + st["step"])
+        t, slot, bary, hit = bvh_mod.traverse_closest(
+            g.bvh, g.p, g.tol, st["o"], st["d"]
+        )
+        live = st["live"] & hit
+        pt, uv, nrm, mat = interpolate_hit(g, table, slot, bary)
+        ref = materials.sample_bsdf(
+            table, mat, pt, st["d"], nrm, uv,
+            st["stack_ids"], st["stack_len"], jax.random.fold_in(bkey, 0),
+        )
+        stack_ids2, stack_len2 = materials.stack_rearrange(
+            st["stack_ids"], st["stack_len"], mat,
+            ref.false_hit, ref.entering, ref.refracted, live,
+        )
+        in_m, med = check_entering_medium(
+            table, ref, st["in_medium"], st["medium"]
+        )
+        in_m = jnp.where(live, in_m, st["in_medium"])
+        med = jnp.where(live, med, st["medium"])
+
+        # volumetric beam gather + transmittance along the segment
+        seg_vec = pt - st["prev_pt"]
+        seg_l = linalg.length(seg_vec)
+        seg_dir = linalg.normalize(seg_vec, SMALL_EPS)
+        seg_on = live & ~ref.false_hit & st["prev_in_medium"]
+        tmp_lm = st["tmp_lm"]
+        if (volume_photons is not None) and (not init):
+            lm = volume_gather_segment(
+                table, volume_photons, st["prev_medium"], st["prev_pt"],
+                seg_dir, seg_l, volume_radius, seg_on,
+            )
+            tmp_lm = tmp_lm + st["filt"] * lm
+        tr = transmittance(table, st["prev_medium"], seg_l)
+        filt = st["filt"] * jnp.where(
+            (seg_on & jnp.bool_(not init))[..., None], tr[..., None], 1.0
+        )
+
+        nf = live & ~ref.false_hit
+        filt_lag = jnp.where(nf[..., None], filt, st["filt_lag"])
+        filt = jnp.where(nf[..., None], filt * ref.filter_2, filt)
+        pdf_lag = jnp.where(nf, st["pdf"], st["pdf_lag"])
+        pdf = jnp.where(nf, st["pdf"] * ref.pdf, st["pdf"])
+
+        # first diffuse hit -> record and stop (ray_tracing_pass.h:299-379)
+        found_now = live & ref.diffuse & ~st["found"]
+        h = lambda new, old: jnp.where(found_now[..., None], new, old) \
+            if new.ndim == 2 else jnp.where(found_now, new, old)
+
+        upd = live & ~ref.false_hit
+        return dict(
+            o=jnp.where(live[..., None], pt, st["o"]),
+            d=jnp.where(live[..., None], ref.dir, st["d"]),
+            filt=filt, filt_lag=filt_lag, pdf=pdf, pdf_lag=pdf_lag,
+            stack_ids=stack_ids2, stack_len=stack_len2,
+            in_medium=in_m, medium=med,
+            prev_in_medium=jnp.where(upd, in_m, st["prev_in_medium"]),
+            prev_medium=jnp.where(upd, med, st["prev_medium"]),
+            prev_pt=jnp.where(upd[..., None], pt, st["prev_pt"]),
+            tmp_lm=tmp_lm,
+            live=live & ~found_now,
+            found=st["found"] | found_now,
+            h_pt=h(pt, st["h_pt"]), h_nrm=h(nrm, st["h_nrm"]),
+            h_uv=h(uv, st["h_uv"]), h_mat=h(mat, st["h_mat"]),
+            h_coming=h(st["d"], st["h_coming"]),
+            h_filt_lag=h(filt_lag, st["h_filt_lag"]),
+            h_stack_ids=jnp.where(
+                found_now[..., None], stack_ids2, st["h_stack_ids"]
+            ),
+            h_stack_len=h(stack_len2, st["h_stack_len"]),
+            h_in_medium=h(in_m, st["h_in_medium"]),
+            h_medium=h(med, st["h_medium"]),
+            step=st["step"] + 1,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+
+    # the recorded hit-point filter includes the diffuse filter_2 (= kd):
+    # ray_tracing_pass.h:292-297 then :585-587 stores `filter`
+    kd_at_hit = table.diffuse_color(st["h_mat"], st["h_uv"])
+    h_filter = st["h_filt_lag"] * kd_at_hit
+
+    direct = jnp.zeros((r, 3))
+    if scene.light_tree is not None:
+        direct = _direct_radiance_chain(
+            scene,
+            st["h_pt"], st["h_nrm"], st["h_uv"], st["h_mat"], st["h_coming"],
+            st["h_filt_lag"],
+            st["h_stack_ids"], st["h_stack_len"],
+            st["h_in_medium"], st["h_medium"],
+            st["found"], jax.random.fold_in(key, 90),
+        )
+        direct = jnp.where(st["found"][..., None], direct, 0.0)
+
+    loc = jnp.where(st["found"][..., None], st["h_pt"], jnp.inf)
+    return loc, st["h_nrm"], h_filter, direct, st["tmp_lm"], st["found"]
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def render_sppm(scene: Scene, camera, cfg, key) -> "np.ndarray":
+    """Full SPPM render (main.cu:1213-1869 SPPM branch).  Returns (H, W, 3)
+    combined (direct + indirect) linear radiance."""
+    import numpy as np
+
+    w, h = cfg.image_width, cfg.image_height
+    r = w * h
+    ii, jj = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix_i = ii.reshape(-1)
+    pix_j = jj.reshape(-1)
+
+    max_bounce = cfg.ppm_max_bounce
+    n_phot = cfg.ppm_num_photon_per_pass
+    alpha = cfg.ppm_alpha
+
+    eye_jit = jax.jit(
+        functools.partial(
+            eye_pass, max_bounce=64, stack_size=cfg.max_stack
+        ),
+        static_argnames=("init",),
+    )
+
+    # ---- init pass: main + 4 corner traces -> initial radius --------------
+    key_init = jax.random.fold_in(key, 0)
+    vol_r = jnp.full((r,), jnp.inf)
+    loc, nrm, filt, direct, _, valid = eye_jit(
+        scene, camera, jax.random.fold_in(key_init, 0),
+        pix_i + 0.5, pix_j + 0.5, None, vol_r, init=True,
+    )
+    corner_locs = []
+    offsets = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
+    for c, (oi, oj) in enumerate(offsets):
+        cl, _, _, _, _, cv = eye_jit(
+            scene, camera, jax.random.fold_in(key_init, 1 + c),
+            pix_i + oi, pix_j + oj, None, vol_r, init=True,
+        )
+        corner_locs.append(jnp.where(cv[..., None], cl, jnp.inf))
+
+    radius = jnp.full((r,), jnp.inf)
+    pts = [jnp.where(valid[..., None], loc, jnp.inf)] + corner_locs
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            dist = linalg.length(pts[a] - pts[b])
+            ok = jnp.isfinite(dist) & (dist > 0)
+            radius = jnp.where(ok & (dist < radius), dist, radius)
+    radius = radius * cfg.ppm_radius_scaling_factor
+    # invalid pixels get the average valid radius (ray_tracing_pass.h:394-450)
+    finite = jnp.isfinite(radius)
+    avg = jnp.sum(jnp.where(finite, radius, 0.0)) / jnp.maximum(
+        jnp.sum(finite), 1
+    )
+    radius = jnp.where(finite, radius, avg)
+
+    hp = HitPoints(
+        loc=loc,
+        normal=nrm,
+        filter=filt,
+        direct=direct,
+        indirect=jnp.zeros((r, 3)),
+        tmp_lm=jnp.zeros((r, 3)),
+        surface_radius=radius,
+        volume_radius=2.0 * radius,
+        valid=valid,
+    )
+
+    gather_jit = jax.jit(functools.partial(surface_gather, k_nearest=16))
+
+    @jax.jit
+    def update(hp: HitPoints, flux, iteration):
+        shrink = jnp.where(
+            iteration >= 2,
+            jnp.sqrt((iteration + alpha) / (iteration + 1.0)),
+            1.0,
+        )
+        shrink_v = jnp.where(
+            iteration >= 2,
+            jnp.power((iteration + alpha) / (iteration + 1.0), 1.0 / 3.0),
+            1.0,
+        )
+        surf_contrib = linalg.de_nan(
+            hp.filter * flux / (
+                n_phot * jnp.pi * (hp.surface_radius[..., None] ** 2)
+            )
+        )
+        vol_contrib = linalg.de_nan(hp.tmp_lm / n_phot)
+        import dataclasses
+
+        return dataclasses.replace(
+            hp,
+            indirect=hp.indirect + surf_contrib + vol_contrib,
+            surface_radius=hp.surface_radius * shrink,
+            volume_radius=hp.volume_radius * shrink_v,
+            tmp_lm=jnp.zeros_like(hp.tmp_lm),
+        )
+
+    import dataclasses
+
+    num_pass = cfg.ppm_num_pass
+    for it in range(num_pass):
+        pkey = jax.random.fold_in(key, 1000 + it)
+        photons = photon_pass(
+            scene, pkey, n_photons=n_phot, max_bounce=max_bounce,
+            stack_size=cfg.max_stack,
+        )
+        loc, nrm, filt, direct, tmp_lm, valid = eye_jit(
+            scene, camera, jax.random.fold_in(pkey, 1),
+            pix_i
+            + jax.random.uniform(jax.random.fold_in(pkey, 2), (r,)),
+            pix_j
+            + jax.random.uniform(jax.random.fold_in(pkey, 3), (r,)),
+            photons, hp.volume_radius, init=False,
+        )
+        hp = dataclasses.replace(
+            hp,
+            loc=jnp.where(valid[..., None], loc, jnp.inf),
+            normal=nrm,
+            filter=filt,
+            direct=hp.direct + direct,
+            tmp_lm=tmp_lm,
+            valid=valid,
+        )
+        flux, _ = gather_jit(
+            scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid
+        )
+        hp = update(hp, flux, jnp.float32(it + 1))
+
+    img = (hp.direct + hp.indirect) / num_pass
+    return np.asarray(linalg.de_nan(img).reshape(h, w, 3))

@@ -75,6 +75,18 @@ def render_from_config(cfg: RenderConfig, key=None) -> np.ndarray:
     scene, camera = load_scene_from_config(cfg)
     if key is None:
         key = jax.random.key(cfg.seed)
+    if cfg.sss_pts_per_object > 0:
+        from gpu_pathtracer_tpu.render.sss import attach_sss
+
+        with _log("SSS point cloud + first pass"):
+            scene = attach_sss(
+                scene,
+                jax.random.fold_in(key, 777),
+                pts_per_object=cfg.sss_pts_per_object,
+                sample_size=cfg.pathtracing_sample_size,
+                level=cfg.pathtracing_level,
+                hittable_pdf_weight=cfg.hittable_pdf_weight,
+            )
     if cfg.render_mode == 2:
         from gpu_pathtracer_tpu.render.sppm import render_sppm
 
