@@ -105,3 +105,26 @@ def max_dimension(v: jnp.ndarray) -> jnp.ndarray:
 
 def safe_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > SMALL_EPS * SMALL_EPS, 1.0 / jnp.sqrt(jnp.maximum(x, 1e-30)), 0.0)
+
+
+_TINY = 1e-12
+
+
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a finite gradient at x == 0 (sqrt'(0) = inf would turn any
+    zero cotangent into NaN via 0*inf in the backward pass)."""
+    return jnp.where(x > _TINY, jnp.sqrt(jnp.maximum(x, _TINY)), 0.0)
+
+
+def safe_pow(base: jnp.ndarray, exp: jnp.ndarray) -> jnp.ndarray:
+    """pow(base, exp) for base >= 0 with NaN-free gradients at base == 0.
+
+    jnp.power's backward at base == 0 yields inf (d/dbase, exp < 1) and
+    NaN (d/dexp = pow * log(0)); either poisons reverse-mode through the
+    whole graph even under zero cotangents.  Matches pow semantics at 0:
+    0^0 = 1, 0^e = 0 (e > 0).
+    """
+    exp = jnp.asarray(exp)
+    out = jnp.power(jnp.maximum(base, _TINY), exp)
+    at_zero = jnp.where(jnp.equal(exp, 0.0), jnp.ones_like(out), jnp.zeros_like(out))
+    return jnp.where(base > _TINY, out, at_zero)

@@ -262,12 +262,12 @@ def _snell_out_dir(v_in, normal, cos1, sin_ratio, sign):
     """Bend v_in across the interface: parallel/perpendicular decomposition
     (material.h:293-308 entering with sign=-1, :357-371 exiting with sign=+1).
     Grazing/degenerate bends fall back to +/-normal like the reference."""
-    sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
+    sin1 = linalg.safe_sqrt(1.0 - cos1 * cos1)
     # entering (sign=-1): v_in_perp = -cos1*n; exiting (sign=+1): +cos1*n
     v_perp = sign[..., None] * cos1[..., None] * normal
     v_par = v_in - v_perp
     sin2 = sin_ratio * sin1
-    cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
+    cos2 = linalg.safe_sqrt(1.0 - sin2 * sin2)
     tan2 = sin2 / jnp.maximum(cos2, 1e-20)
     straight = jnp.abs(tan2) <= SMALL_EPS
     inv_tan = jnp.where(straight, 0.0, 1.0 / jnp.maximum(tan2, SMALL_EPS))
@@ -331,7 +331,7 @@ def sample_bsdf(
 
     # exiting face
     cos1_out = d_in_n
-    sin1_out = jnp.sqrt(jnp.maximum(1.0 - cos1_out * cos1_out, 0.0))
+    sin1_out = linalg.safe_sqrt(1.0 - cos1_out * cos1_out)
     sin1_max = shp_ior / n_i
     rp_out = sampling.schlick_reflectance(cos1_out, n_i, shp_ior)
     reflect_out = ((sin1_out >= sin1_max) | (u_choice <= rp_out)) & ~force_refract

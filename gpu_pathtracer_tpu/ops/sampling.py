@@ -41,7 +41,7 @@ def henyey_greenstein_pdf(g: jnp.ndarray, dir_1: jnp.ndarray, dir_2: jnp.ndarray
     """HG phase function value between two directions (vector_util.h:56-63)."""
     cos_theta = linalg.dot(linalg.normalize(dir_1, SMALL_EPS), linalg.normalize(dir_2, SMALL_EPS))
     cos_theta = jnp.where(jnp.isnan(cos_theta), 0.0, cos_theta)
-    denom = jnp.power(1.0 + g * g - 2.0 * g * cos_theta, 1.5)
+    denom = linalg.safe_pow(jnp.maximum(1.0 + g * g - 2.0 * g * cos_theta, 1e-6), 1.5)
     return (1.0 / (4.0 * _PI)) * (1.0 - g * g) / denom
 
 
@@ -151,7 +151,7 @@ def specular_sampling_pdf(
     mirror = n_s_too_large(n)
     n_safe = jnp.where(mirror, 1.0, n)
     cos_a = jnp.maximum(0.0, linalg.dot(perfect_out, out_dir))
-    lobe = (n_safe + 1.0) * jnp.power(cos_a, n_safe) / (2.0 * _PI)
+    lobe = (n_safe + 1.0) * linalg.safe_pow(cos_a, n_safe) / (2.0 * _PI)
     pdf = jnp.where(mirror, MAX_PHONG_N_S / (2.0 * _PI), lobe)
     return jnp.where(valid, pdf, 0.0)
 
@@ -172,7 +172,7 @@ def specular_sampling_pdf_2(
     mirror = n_s_too_large(n)
     n_safe = jnp.where(mirror, 1.0, n)
     cos_a = jnp.maximum(0.0, linalg.dot(perfect_out, out_dir))
-    lobe = jnp.power(cos_a, n_safe) / (2.0 * _PI)
+    lobe = linalg.safe_pow(cos_a, n_safe) / (2.0 * _PI)
     pdf = jnp.where(mirror, 1.0 / (2.0 * _PI), lobe)
     return jnp.where(valid, pdf, 0.0)
 
@@ -214,7 +214,7 @@ def schlick_reflectance(cos_theta: jnp.ndarray, n_1: jnp.ndarray, n_2: jnp.ndarr
     """Schlick Fresnel approximation (vector_util.h:207-212)."""
     r0 = jnp.square((n_1 - n_2) / (n_1 + n_2))
     m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
-    return r0 + (1.0 - r0) * jnp.power(m, 5.0)
+    return r0 + (1.0 - r0) * m * m * m * m * m
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +229,7 @@ def phong_filter(
     mirror = n_s_too_large(n)
     n_safe = jnp.where(mirror, 1.0, n)
     cos_a = jnp.maximum(0.0, linalg.dot(ideal_dir, out_dir, keepdims=True))
-    w = (n_safe[..., None] + 2.0) * jnp.power(cos_a, n_safe[..., None]) / 2.0
+    w = (n_safe[..., None] + 2.0) * linalg.safe_pow(cos_a, n_safe[..., None]) / 2.0
     w = jnp.where(mirror[..., None], MAX_PHONG_N_S / 2.0, w)
     return k * w
 
@@ -242,7 +242,7 @@ def phong_filter_2(
     mirror = n_s_too_large(n)
     n_safe = jnp.where(mirror, 1.0, n)
     cos_a = jnp.maximum(0.0, linalg.dot(ideal_dir, out_dir, keepdims=True))
-    w = jnp.power(cos_a, n_safe[..., None])
+    w = linalg.safe_pow(cos_a, n_safe[..., None])
     w = jnp.where(mirror[..., None], 1.0, w)
     return k * w
 

@@ -104,6 +104,58 @@ def test_cornell_nee_reduces_variance(cornell):
     )
 
 
+def _kd_loss(scene, kd, level=4, n_rays=64, w=0.5):
+    import dataclasses
+
+    o = jnp.tile(jnp.array([[0.5, 0.5, 2.4]], jnp.float32), (n_rays, 1))
+    t = jnp.linspace(-0.3, 0.3, n_rays)
+    d = jnp.stack([t, jnp.zeros_like(t), -jnp.ones_like(t)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    scn = dataclasses.replace(
+        scene, materials=dataclasses.replace(scene.materials, kd=kd)
+    )
+    img = trace_paths(scn, o, d, jax.random.key(5), level=level,
+                      hittable_pdf_weight=w)
+    return jnp.mean(img**2)
+
+
+def test_grad_finite_and_nonzero(cornell):
+    """Reverse-mode gradients w.r.t. the diffuse-material table must be
+    finite at depth (safe_pow/safe_sqrt guard the 0*inf backward hazards)
+    and nonzero (light actually flows to kd)."""
+    kd = cornell.materials.kd
+    for level in (3, 6):
+        val, gr = jax.value_and_grad(lambda k: _kd_loss(cornell, k, level))(kd)
+        gr = np.asarray(gr)
+        assert np.isfinite(gr).all(), f"level={level}"
+        assert np.linalg.norm(gr) > 1e-6
+
+
+def test_grad_matches_finite_difference(cornell):
+    """Pathwise (path-replay) gradient vs central finite differences along a
+    random direction in kd-space.  Same RNG key => same discrete path
+    decisions, so the FD of the fixed-sample estimator equals the pathwise
+    derivative up to O(eps^2) unless a decision boundary is crossed.
+
+    Rows with kd == 0 are excluded from the direction: the diffuse lobe is
+    never sampled there (pick probability kd/(kd+ks) = 0), so the pathwise
+    estimator has no gradient support — the standard path-replay boundary
+    limitation, not an autodiff defect."""
+    kd = cornell.materials.kd
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(kd.shape).astype(np.float32)
+    v[np.asarray(kd).max(axis=-1) <= 0.0] = 0.0
+    v = jnp.asarray(v)
+    f = lambda k: _kd_loss(cornell, k, level=4)
+    g = jax.grad(f)(kd)
+    directional = float(jnp.vdot(g, v))
+    eps = 3e-4
+    fd = (float(f(kd + eps * v)) - float(f(kd - eps * v))) / (2 * eps)
+    assert abs(directional - fd) < 0.05 * max(abs(fd), abs(directional), 1e-3), (
+        directional, fd,
+    )
+
+
 def test_reproducible(cornell):
     cam = Camera.create(
         eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
