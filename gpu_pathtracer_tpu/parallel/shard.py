@@ -1,0 +1,213 @@
+"""Sharded rendering + distributed differentiable train step.
+
+See package docstring for the design.  Everything here is mesh-shape
+agnostic: pass any 1-D `jax.sharding.Mesh` (real TPU chips or the virtual
+8-device CPU mesh the tests use).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE
+from gpu_pathtracer_tpu.ops import linalg
+from gpu_pathtracer_tpu.render.integrator import render_image, trace_paths
+
+AXIS = "rays"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D device mesh over the ray/pixel data-parallel axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(devices, axis_names=(AXIS,))
+
+
+def _pad_to(x: jnp.ndarray, multiple: int):
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, n
+
+
+# ---------------------------------------------------------------------------
+# GSPMD path: same program, sharded pixel batch — bit-identical results
+# ---------------------------------------------------------------------------
+
+def render_image_distributed(
+    scene,
+    camera,
+    key: jax.Array,
+    width: int,
+    height: int,
+    mesh: Mesh | None = None,
+    **render_kw,
+) -> jnp.ndarray:
+    """Full-frame render with the pixel batch sharded over `mesh`.
+
+    Thin wrapper over `render_image`: the image rows are annotated with a
+    NamedSharding so XLA partitions the whole wavefront across the mesh.
+    Scene arrays stay replicated (they arrive as ordinary numpy-backed
+    jnp arrays; GSPMD broadcasts them).  Bit-identical to the unsharded
+    render under `jax_threefry_partitionable`.
+    """
+    mesh = mesh or make_mesh()
+    sharding = NamedSharding(mesh, P(AXIS))
+
+    img = render_image(scene, camera, key, width=width, height=height, **render_kw)
+    flat = img.reshape(-1, 3)
+    flat = jax.lax.with_sharding_constraint(
+        flat, sharding
+    ) if flat.shape[0] % mesh.size == 0 else flat
+    return flat.reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# shard_map path: per-chip wavefront loops, zero per-bounce synchronization
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "sample_size", "level", "hittable_pdf_weight",
+        "stack_size", "mesh",
+    ),
+)
+def render_image_shard_map(
+    scene,
+    camera,
+    key: jax.Array,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    sample_size: int = 16,
+    level: int = 8,
+    hittable_pdf_weight: float = 0.0,
+    stack_size: int = MATERIAL_STACK_SIZE,
+) -> jnp.ndarray:
+    """Explicit-collective render: each chip owns a contiguous pixel slice.
+
+    The per-chip wavefront `while_loop` in `traverse_closest` terminates as
+    soon as the LOCAL rays converge — no cross-chip reduction per step, so
+    scaling efficiency is limited only by pixel-workload balance (rays are
+    interleaved round-robin over chips to decorrelate spatial cost).
+    RNG: each chip folds the shard index into the key, so images are
+    deterministic for a fixed (key, mesh) and decorrelated across chips.
+    """
+    n_dev = mesh.size
+    ii, jj = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix_i = ii.reshape(-1) + 0.5
+    pix_j = jj.reshape(-1) + 0.5
+    npix = pix_i.shape[0]
+
+    # round-robin interleave so each chip gets pixels from everywhere in the
+    # frame (spatially clustered slices => load imbalance on hard regions)
+    pix_i, _ = _pad_to(pix_i, n_dev)
+    pix_j, _ = _pad_to(pix_j, n_dev)
+    total = pix_i.shape[0]
+    perm = (
+        jnp.arange(total)
+        .reshape(-1, n_dev)
+        .T.reshape(-1)
+    )  # chip d gets global pixels d, d+n_dev, d+2*n_dev, ...
+    pix_i_s = pix_i[perm]
+    pix_j_s = pix_j[perm]
+
+    def shard_fn(pi, pj):
+        shard_id = jax.lax.axis_index(AXIS)
+        local_key = jax.random.fold_in(key, shard_id)
+
+        def one_sample(carry, s):
+            skey = jax.random.fold_in(local_key, s)
+            u1 = jax.random.uniform(jax.random.fold_in(skey, 0), pi.shape)
+            u2 = jax.random.uniform(jax.random.fold_in(skey, 1), pi.shape)
+            o, d = camera.generate_rays(pi, pj, u1, u2)
+            c = trace_paths(
+                scene, o, d, jax.random.fold_in(skey, 2),
+                level=level,
+                hittable_pdf_weight=hittable_pdf_weight,
+                stack_size=stack_size,
+            )
+            return carry + linalg.de_nan(c), None
+
+        acc, _ = jax.lax.scan(
+            one_sample, jnp.zeros((pi.shape[0], 3)), jnp.arange(sample_size)
+        )
+        return acc / sample_size
+
+    out = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )(pix_i_s, pix_j_s)
+
+    # undo the interleave, drop padding
+    inv = jnp.argsort(perm)
+    return out[inv][:npix].reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# distributed differentiable train step
+# ---------------------------------------------------------------------------
+
+def train_step_distributed(
+    scene,
+    camera,
+    params: dict,
+    target: jnp.ndarray,  # (H, W, 3)
+    key: jax.Array,
+    mesh: Mesh | None = None,
+    width: int = 64,
+    height: int = 64,
+    sample_size: int = 4,
+    level: int = 4,
+    hittable_pdf_weight: float = 0.5,
+    lr: float = 0.05,
+):
+    """One SGD step on material parameters against a target image.
+
+    `params` maps MaterialTable field names (e.g. 'kd', 'ke') to arrays;
+    the loss renders with those fields substituted, the pixel batch sharded
+    over the mesh, the parameters replicated.  GSPMD inserts the gradient
+    all-reduce (backward of broadcast = psum over ICI).  Returns
+    (loss, new_params).
+    """
+    import dataclasses
+
+    mesh = mesh or make_mesh()
+    ray_sharding = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params):
+        mats = dataclasses.replace(scene.materials, **params)
+        scn = dataclasses.replace(scene, materials=mats)
+        img = render_image(
+            scn, camera, key, width=width, height=height,
+            sample_size=sample_size, level=level,
+            hittable_pdf_weight=hittable_pdf_weight,
+        )
+        flat = jax.lax.with_sharding_constraint(img.reshape(-1, 3), ray_sharding)
+        tgt = jax.lax.with_sharding_constraint(target.reshape(-1, 3), ray_sharding)
+        return jnp.mean((flat - tgt) ** 2)
+
+    params = {k: jax.device_put(v, repl) for k, v in params.items()}
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    new_params = {
+        k: jnp.clip(params[k] - lr * grads[k], 0.0, None) for k in params
+    }
+    return loss, new_params
