@@ -76,25 +76,24 @@ def intersect_tris(
     """
     pt = tri_p - origin[..., None, None, :]  # (..., K, 3, 3)
 
-    # dominant-axis permutation (per ray)
+    # dominant-axis permutation (per ray), branch-free: a dynamic gather on
+    # the minormost axis is catastrophically slow on TPU (it defeats the
+    # vector layout), so the three rotations are computed by static slicing
+    # and blended with selects on kz.
     kz = jnp.argmax(jnp.abs(direction), axis=-1)  # (...)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
 
-    def pick_dir(k):
-        return jnp.take_along_axis(direction, k[..., None], axis=-1)[..., 0]
+    def permute3(v, kz_b):
+        """(..., 3) components under kx=(kz+1)%3, ky=(kz+2)%3 -> (x, y, z)."""
+        v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+        is0 = kz_b == 0
+        is1 = kz_b == 1
+        x = jnp.where(is0, v1, jnp.where(is1, v2, v0))
+        y = jnp.where(is0, v2, jnp.where(is1, v0, v1))
+        z = jnp.where(is0, v0, jnp.where(is1, v1, v2))
+        return x, y, z
 
-    def pick_pt(k):
-        idx = jnp.broadcast_to(k[..., None, None, None], pt.shape[:-1] + (1,))
-        return jnp.take_along_axis(pt, idx, axis=-1)[..., 0]
-
-    dx = pick_dir(kx)  # (...,)
-    dy = pick_dir(ky)
-    dz = pick_dir(kz)
-
-    px = pick_pt(kx)  # (..., K, 3)
-    py = pick_pt(ky)
-    pz = pick_pt(kz)
+    dx, dy, dz = permute3(direction, kz)  # (...,)
+    px, py, pz = permute3(pt, kz[..., None, None])  # (..., K, 3)
 
     sx = (-dx / dz)[..., None, None]
     sy = (-dy / dz)[..., None, None]

@@ -189,6 +189,26 @@ def pick_light(
     return node - leaf_base
 
 
+def pick_light_dense(
+    lt: LightTree,
+    node_pdf: jnp.ndarray,  # (R, E) leaf selection pdfs (leaf_node_pdfs)
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Sample a leaf from its exact selection distribution by inverse-CDF.
+
+    The stochastic root-to-leaf descent (`pick_light`) selects leaf k with
+    probability = product of branch probabilities = `leaf_node_pdfs[k]`, so
+    sampling that categorical directly is the same distribution — without a
+    per-ray tree walk (sequential gather steps are the slowest construct on
+    TPU; one cumsum over a dense (R, E) array is vector work).
+    """
+    cdf = jnp.cumsum(node_pdf, axis=-1)
+    total = cdf[..., -1:]
+    u = jax.random.uniform(key, node_pdf.shape[:-1] + (1,))
+    pick = jnp.sum(cdf < u * total, axis=-1).astype(jnp.int32)
+    return jnp.clip(pick, 0, lt.num_lights - 1)
+
+
 def sample_point_on_light(
     lt: LightTree, leaf: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray
 ) -> jnp.ndarray:
@@ -258,6 +278,7 @@ def hittable_pdf_sum(
     origin: jnp.ndarray,  # (R, 3)
     direction: jnp.ndarray,  # (R, 3) unit
     pivot: jnp.ndarray,  # (R, 3)
+    node_pdf: jnp.ndarray | None = None,  # (R, E) reuse from pick step
 ) -> jnp.ndarray:
     """sum_i node_pdf_i * geom_pdf_i over every emitter the ray hits
     (_recompute_pdf, material_operations.h:26-72).
@@ -266,7 +287,8 @@ def hittable_pdf_sum(
     (triangle.h:95-110); zero on a miss, so summing over all emitters equals
     the reference's AABB-culled sum exactly.
     """
-    node_pdf = leaf_node_pdfs(lt, origin, pivot)  # (R, E)
+    if node_pdf is None:
+        node_pdf = leaf_node_pdfs(lt, origin, pivot)  # (R, E)
     t, bary, hit = intersect.intersect_tris(
         origin, direction, lt.tri_p[None], lt.tol[None], jnp.inf
     )  # (R, E), (R, E, 3)

@@ -1,0 +1,185 @@
+"""Ray-scene intersection dispatch: dense tiles (small scenes) or BVH.
+
+The reference answers every ray query with a divergent per-thread BVH walk
+(`src/model/bvh/bvh_traversal.h:12-84`).  On TPU the right structure depends
+on scene size:
+
+* small scenes — test every (ray, triangle) pair in dense tiles.  One fused
+  VPU pass with zero sequential steps beats any traversal loop by orders of
+  magnitude (a `while_loop` iteration costs ~0.5 ms of gather/launch latency
+  at wavefront widths, and a traversal needs ~100 of them);
+* large scenes — the threaded stackless BVH walk (`ops/bvh.py`), whose
+  sequential depth is bounded by tree height instead of triangle count.
+
+`closest_hit` / `occluded` pick a strategy from the static (padded) triangle
+count.  Both return hits in *sorted-SoA slots* (rows of `GeometrySet.p`),
+exactly like `bvh.traverse_closest`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.ops import bvh as bvh_mod
+from gpu_pathtracer_tpu.ops import intersect as isect
+
+# scenes with at most this many (padded) triangles use dense tiles
+DENSE_MAX = int(os.environ.get("GPT_TPU_DENSE_MAX", "4096"))
+# triangle tile width for the scanned dense path
+DENSE_TILE = int(os.environ.get("GPT_TPU_DENSE_TILE", "1024"))
+
+
+def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`arr[idx]` with the trailing dims flattened first.
+
+    XLA's TPU gather is fast when each gathered slice is one contiguous
+    minor-dim row but falls off a cliff for multi-dim slice shapes like
+    (1, L, 3, 3); flattening keeps every table lookup on the fast path.
+    """
+    flat = arr.reshape(arr.shape[0], -1)
+    out = flat[idx]
+    return out.reshape(idx.shape + arr.shape[1:])
+
+
+def _pad_tris(p, tol, valid, tile):
+    t = p.shape[0]
+    pad = (-t) % tile
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad, 3, 3), p.dtype)])
+        tol = jnp.concatenate([tol, jnp.full((pad,), jnp.inf, tol.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return p, tol, valid, t + pad
+
+
+def closest_hit_dense(
+    p: jnp.ndarray,  # (T, 3, 3)
+    tol: jnp.ndarray,  # (T,)
+    valid: jnp.ndarray,  # (T,) bool
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3)
+    t_max: jnp.ndarray | float = jnp.inf,
+    tile: int = DENSE_TILE,
+):
+    """Closest hit by dense (ray, tri) tiles scanned over the triangle axis.
+
+    Returns (t, slot, bary, hit) with slot = row of `p`, -1 on miss.
+    """
+    r = origin.shape[0]
+    p, tol, valid, tp = _pad_tris(p, tol, valid, tile)
+    n_tiles = tp // tile
+
+    best_t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    init = (best_t0, jnp.full((r,), -1, jnp.int32))
+
+    p_tiles = p.reshape(n_tiles, tile, 3, 3)
+    tol_tiles = tol.reshape(n_tiles, tile)
+    valid_tiles = valid.reshape(n_tiles, tile)
+
+    # t-only scan: the per-pair barycentrics are never used here, so XLA
+    # DCEs them and fuses the whole tile into one reduction (the (R, tile, 3)
+    # bary array would otherwise dominate HBM).
+    def step(carry, inputs):
+        best_t, best_slot = carry
+        tile_idx, tri_p, tri_tol, tri_valid = inputs
+        t, _, hit = isect.intersect_tris(
+            origin, direction, tri_p[None], tri_tol[None], best_t
+        )  # (R, tile)
+        t = jnp.where(hit & tri_valid[None, :], t, jnp.inf)
+        k = jnp.argmin(t, axis=-1)
+        t_k = jnp.take_along_axis(t, k[:, None], axis=-1)[:, 0]
+        better = t_k < best_t
+        best_t = jnp.where(better, t_k, best_t)
+        best_slot = jnp.where(
+            better, tile_idx * tile + k.astype(jnp.int32), best_slot
+        )
+        return (best_t, best_slot), None
+
+    if n_tiles == 1:
+        (best_t, best_slot), _ = step(
+            init, (jnp.int32(0), p_tiles[0], tol_tiles[0], valid_tiles[0])
+        )
+    else:
+        (best_t, best_slot), _ = jax.lax.scan(
+            step,
+            init,
+            (jnp.arange(n_tiles, dtype=jnp.int32), p_tiles, tol_tiles, valid_tiles),
+        )
+    hit = best_slot >= 0
+
+    # recompute barycentrics for just the winning triangle (K=1)
+    safe = jnp.maximum(best_slot, 0)
+    tri_w = gather_rows(p, safe)  # (R, 3, 3)
+    tol_w = tol[safe]
+    _, bary_w, _ = isect.intersect_tris(
+        origin, direction, tri_w[:, None], tol_w[:, None], jnp.inf
+    )
+    best_bary = jnp.where(hit[:, None], bary_w[:, 0], 0.0)
+    return jnp.where(hit, best_t, jnp.inf), best_slot, best_bary, hit
+
+
+def occluded_dense(
+    p: jnp.ndarray,
+    tol: jnp.ndarray,
+    valid: jnp.ndarray,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    t_max: jnp.ndarray,
+    exclude_slot: jnp.ndarray | None = None,
+    tile: int = DENSE_TILE,
+):
+    """Any-hit test by dense tiles; `exclude_slot` masks one row per ray."""
+    r = origin.shape[0]
+    p, tol, valid, tp = _pad_tris(p, tol, valid, tile)
+    n_tiles = tp // tile
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+
+    p_tiles = p.reshape(n_tiles, tile, 3, 3)
+    tol_tiles = tol.reshape(n_tiles, tile)
+    valid_tiles = valid.reshape(n_tiles, tile)
+
+    def step(occ, inputs):
+        tile_idx, tri_p, tri_tol, tri_valid = inputs
+        _, _, hit = isect.intersect_tris(
+            origin, direction, tri_p[None], tri_tol[None], t_max_b
+        )
+        hit = hit & tri_valid[None, :]
+        if exclude_slot is not None:
+            slots = tile_idx * tile + jnp.arange(tile, dtype=jnp.int32)
+            hit &= slots[None, :] != exclude_slot[:, None]
+        return occ | jnp.any(hit, axis=-1), None
+
+    init = jnp.zeros((r,), bool)
+    if n_tiles == 1:
+        occ, _ = step(init, (jnp.int32(0), p_tiles[0], tol_tiles[0], valid_tiles[0]))
+    else:
+        occ, _ = jax.lax.scan(
+            step,
+            init,
+            (jnp.arange(n_tiles, dtype=jnp.int32), p_tiles, tol_tiles, valid_tiles),
+        )
+    return occ
+
+
+def _use_dense(g) -> bool:
+    return g.p.shape[0] <= DENSE_MAX
+
+
+def closest_hit(g, origin, direction, t_max=jnp.inf):
+    """Closest hit against a GeometrySet (strategy picked by scene size)."""
+    if _use_dense(g):
+        return closest_hit_dense(g.p, g.tol, g.valid, origin, direction, t_max)
+    return bvh_mod.traverse_closest(g.bvh, g.p, g.tol, origin, direction, t_max)
+
+
+def occluded(g, origin, direction, t_max, exclude_slot=None):
+    """Any-hit (shadow) test against a GeometrySet."""
+    if _use_dense(g):
+        return occluded_dense(
+            g.p, g.tol, g.valid, origin, direction, t_max, exclude_slot
+        )
+    return bvh_mod.traverse_any(
+        g.bvh, g.p, g.tol, origin, direction, t_max, exclude_slot
+    )

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE, SMALL_EPS
 from gpu_pathtracer_tpu.ops import bvh as bvh_mod
+from gpu_pathtracer_tpu.ops import trace
 from gpu_pathtracer_tpu.ops import lights as lights_mod
 from gpu_pathtracer_tpu.ops import linalg, materials, sampling, texture
 from gpu_pathtracer_tpu.models.scene import Scene
@@ -40,13 +41,13 @@ def interpolate_hit(g, table, slot, bary):
     triangle.h:410-441).  Works on any GeometrySet (main or transparent)."""
     s = jnp.maximum(slot, 0)
     b = bary[..., None]  # (R, 3, 1)
-    point = jnp.sum(b * g.p[s], axis=-2)
-    uv = jnp.sum(b * g.uv[s], axis=-2)
-    n = linalg.normalize(jnp.sum(b * g.n[s], axis=-2), SMALL_EPS)
+    point = jnp.sum(b * trace.gather_rows(g.p, s), axis=-2)
+    uv = jnp.sum(b * trace.gather_rows(g.uv, s), axis=-2)
+    n = linalg.normalize(jnp.sum(b * trace.gather_rows(g.n, s), axis=-2), SMALL_EPS)
     mat_id = g.mat_id[s]
 
     bump = table.bump_vector(mat_id, uv)  # (R, 3) [u, v, _]
-    tangent = jnp.sum(b * g.tangent[s], axis=-2)
+    tangent = jnp.sum(b * trace.gather_rows(g.tangent, s), axis=-2)
     tan_ok = jnp.all(jnp.isfinite(tangent), axis=-1)
     tangent = jnp.where(tan_ok[..., None], tangent, 1.0)
     ux, vy, _ = linalg.onb_from_z_tangent(n, linalg.normalize(tangent, SMALL_EPS))
@@ -88,7 +89,9 @@ def _nee_mis(
     u_accept = jax.random.uniform(jax.random.fold_in(key, 0), r_shape)
     take_light = u_accept < w
 
-    leaf = lights_mod.pick_light(lt, ref.origin, pivot, jax.random.fold_in(key, 1))
+    # one dense pdf table serves both the pick and the MIS mixture pdf
+    node_pdf = lights_mod.leaf_node_pdfs(lt, ref.origin, pivot)
+    leaf = lights_mod.pick_light_dense(lt, node_pdf, jax.random.fold_in(key, 1))
     u1 = jax.random.uniform(jax.random.fold_in(key, 2), r_shape)
     u2 = jax.random.uniform(jax.random.fold_in(key, 3), r_shape)
     target = lights_mod.sample_point_on_light(lt, leaf, u1, u2)
@@ -101,7 +104,9 @@ def _nee_mis(
     new_filter = jnp.where(refilter[..., None], filt_l, ref.filter)
 
     # mixture pdf (material_operations.h:26-72)
-    hittable = lights_mod.hittable_pdf_sum(lt, ref.origin, new_dir, pivot)
+    hittable = lights_mod.hittable_pdf_sum(
+        lt, ref.origin, new_dir, pivot, node_pdf=node_pdf
+    )
     samp_diff = sampling.diffuse_sampling_pdf(normal, new_dir)
     samp_spec = sampling.specular_sampling_pdf(
         coming_dir, new_dir, normal, ref.perfect_dir, ref.n, ref.refracted
@@ -151,9 +156,7 @@ def trace_paths(
 
     def bounce(state, i):
         bkey = jax.random.fold_in(key, i)
-        t, slot, bary, hit = bvh_mod.traverse_closest(
-            g.bvh, g.p, g.tol, state["o"], state["d"]
-        )
+        t, slot, bary, hit = trace.closest_hit(g, state["o"], state["d"])
         hit = hit & state["live"]
 
         point, uv, normal, mat_id = interpolate_hit(
@@ -260,7 +263,7 @@ def trace_paths(
     jax.jit,
     static_argnames=(
         "width", "height", "sample_size", "dof_sample_size", "level",
-        "hittable_pdf_weight", "stack_size",
+        "hittable_pdf_weight", "stack_size", "ray_chunk",
     ),
 )
 def render_image(
@@ -274,12 +277,14 @@ def render_image(
     level: int = 8,
     hittable_pdf_weight: float = 0.0,
     stack_size: int = MATERIAL_STACK_SIZE,
+    ray_chunk: int = 65536,
 ) -> jnp.ndarray:
     """Full-frame render (path_tracing_render, pathtracing.h:252-305).
 
-    Samples are scanned sequentially (each a full wavefront over the pixel
-    batch) so HBM holds one ray batch regardless of spp.  Returns (H, W, 3)
-    linear radiance.
+    The pixel batch is processed in `ray_chunk`-ray wavefronts and samples
+    are scanned sequentially, so HBM holds one chunk's (rays x tri-tile)
+    working set regardless of resolution or spp.  Returns (H, W, 3) linear
+    radiance.
     """
     ii, jj = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32),
@@ -289,23 +294,37 @@ def render_image(
     pix_i = ii.reshape(-1) + 0.5
     pix_j = jj.reshape(-1) + 0.5
 
-    def one_sample(carry, s):
-        skey = jax.random.fold_in(key, s)
-        u1 = jax.random.uniform(jax.random.fold_in(skey, 0), pix_i.shape)
-        u2 = jax.random.uniform(jax.random.fold_in(skey, 1), pix_i.shape)
-        o, d = camera.generate_rays(pix_i, pix_j, u1, u2)
-        c = trace_paths(
+    n_pix = pix_i.shape[0]
+    chunk = min(ray_chunk, n_pix)
+    pad = (-n_pix) % chunk
+    if pad:
+        pix_i = jnp.concatenate([pix_i, jnp.zeros((pad,), pix_i.dtype)])
+        pix_j = jnp.concatenate([pix_j, jnp.zeros((pad,), pix_j.dtype)])
+    n_chunks = (n_pix + pad) // chunk
+    pix_i = pix_i.reshape(n_chunks, chunk)
+    pix_j = pix_j.reshape(n_chunks, chunk)
+
+    def one_step(carry, sc):
+        s, c = sc // n_chunks, sc % n_chunks
+        skey = jax.random.fold_in(jax.random.fold_in(key, s), 7 + c)
+        pi = pix_i[c]
+        pj = pix_j[c]
+        u1 = jax.random.uniform(jax.random.fold_in(skey, 0), (chunk,))
+        u2 = jax.random.uniform(jax.random.fold_in(skey, 1), (chunk,))
+        o, d = camera.generate_rays(pi, pj, u1, u2)
+        col = trace_paths(
             scene, o, d, jax.random.fold_in(skey, 2),
             level=level,
             hittable_pdf_weight=hittable_pdf_weight,
             stack_size=stack_size,
         )
-        return carry + linalg.de_nan(c), None
+        return carry.at[c].add(linalg.de_nan(col)), None
 
+    n_samples = sample_size * dof_sample_size
     total, _ = jax.lax.scan(
-        one_sample,
-        jnp.zeros((pix_i.shape[0], 3)),
-        jnp.arange(sample_size * dof_sample_size),
+        one_step,
+        jnp.zeros((n_chunks, chunk, 3)),
+        jnp.arange(n_samples * n_chunks),
     )
-    img = total / (sample_size * dof_sample_size)
+    img = total.reshape(-1, 3)[:n_pix] / n_samples
     return img.reshape(height, width, 3)

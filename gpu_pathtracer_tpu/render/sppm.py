@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE, SMALL_EPS
 from gpu_pathtracer_tpu.ops import bvh as bvh_mod
+from gpu_pathtracer_tpu.ops import trace
 from gpu_pathtracer_tpu.ops import lights as lights_mod
 from gpu_pathtracer_tpu.ops import linalg, materials, sampling
 from gpu_pathtracer_tpu.models.scene import Scene
@@ -136,9 +137,7 @@ def init_material_stack(
 
     def body(i, carry):
         ids, length, origin, t_rem, live = carry
-        t, slot, bary, hit = bvh_mod.traverse_closest(
-            tset.bvh, tset.p, tset.tol, origin, probe_dir
-        )
+        t, slot, bary, hit = trace.closest_hit(tset, origin, probe_dir)
         live = live & hit & (t_rem - t > SMALL_EPS)
         t_rem = jnp.where(live, t_rem - t, t_rem)
         pt, uv, normal, mat_id = interpolate_hit(tset, scene.materials, slot, bary)
@@ -288,9 +287,7 @@ def photon_pass(
             table, medium, jax.random.fold_in(skey, 1)
         )
         # traverse the BSDF ray (used by march decision AND normal advance)
-        t_next, slot_next, bary_next, hit_next = bvh_mod.traverse_closest(
-            g.bvh, g.p, g.tol, ref.origin, ref.dir
-        )
+        t_next, slot_next, bary_next, hit_next = trace.closest_hit(g, ref.origin, ref.dir)
         t_for_march = jnp.where(hit_next, t_next, jnp.inf)
         march_now = want_march & (d_samp - t_for_march < SMALL_EPS)
         dcs = jnp.where(want_march & ~march_now, True, st["dcs"])
@@ -350,9 +347,7 @@ def photon_pass(
         # (photon_pass.h:191-194, faithful to the reference's ordering)
         o_new = m_o + d_new[..., None] * m_d
         prev = jnp.where(keep_march[..., None], m_pt, prev)
-        t_m, slot_m, bary_m, hit_m = bvh_mod.traverse_closest(
-            g.bvh, g.p, g.tol, o_new, hg_dir
-        )
+        t_m, slot_m, bary_m, hit_m = trace.closest_hit(g, o_new, hg_dir)
         t_m_eff = jnp.where(hit_m, t_m, jnp.inf)
         still = keep_march & (d_new - t_m_eff < SMALL_EPS)
         exit_march = keep_march & ~still
@@ -504,8 +499,8 @@ def surface_gather(
     ray_len = linalg.length(ray_vec)
     ray_dir = linalg.normalize(ray_vec, SMALL_EPS)
     r, kk = ray_dir.shape[:2]
-    t, _, _, hit = bvh_mod.traverse_closest(
-        g.bvh, g.p, g.tol,
+    t, _, _, hit = trace.closest_hit(
+        g,
         jnp.broadcast_to(hp_loc[:, None, :], (r, kk, 3)).reshape(-1, 3),
         ray_dir.reshape(-1, 3),
     )
@@ -570,7 +565,8 @@ def _direct_radiance_chain(
     )
     lt = scene.light_tree
     pivot = jnp.where(ref.diffuse[..., None], diff_nrm, ref.perfect_dir)
-    leaf = lights_mod.pick_light(lt, diff_pt, pivot, jax.random.fold_in(key, 1))
+    node_pdf = lights_mod.leaf_node_pdfs(lt, diff_pt, pivot)
+    leaf = lights_mod.pick_light_dense(lt, node_pdf, jax.random.fold_in(key, 1))
     u1 = jax.random.uniform(jax.random.fold_in(key, 2), (r,))
     u2 = jax.random.uniform(jax.random.fold_in(key, 3), (r,))
     target = lights_mod.sample_point_on_light(lt, leaf, u1, u2)
@@ -579,7 +575,9 @@ def _direct_radiance_chain(
     filt_redir = sampling.phong_filter(ref.k, ref.n, pivot, new_dir)
     ref_filter = jnp.where(refilter[..., None], filt_redir, ref.filter)
 
-    hittable = lights_mod.hittable_pdf_sum(lt, diff_pt, new_dir, pivot)
+    hittable = lights_mod.hittable_pdf_sum(
+        lt, diff_pt, new_dir, pivot, node_pdf=node_pdf
+    )
     scat = sampling.scattering_pdf(
         diff_nrm, new_dir, ref.diffuse, diff_coming, ref.refracted
     )
@@ -598,9 +596,7 @@ def _direct_radiance_chain(
     )
 
     def body(i, st):
-        t, slot, bary, hit = bvh_mod.traverse_closest(
-            g.bvh, g.p, g.tol, st["o"], st["d"]
-        )
+        t, slot, bary, hit = trace.closest_hit(g, st["o"], st["d"])
         live = st["live"] & hit
         pt, uv, nrm, mat = interpolate_hit(g, table, slot, bary)
         ref2 = materials.sample_bsdf(
@@ -712,9 +708,7 @@ def eye_pass(
 
     def body(st):
         bkey = jax.random.fold_in(key, 50 + st["step"])
-        t, slot, bary, hit = bvh_mod.traverse_closest(
-            g.bvh, g.p, g.tol, st["o"], st["d"]
-        )
+        t, slot, bary, hit = trace.closest_hit(g, st["o"], st["d"])
         live = st["live"] & hit
         pt, uv, nrm, mat = interpolate_hit(g, table, slot, bary)
         ref = materials.sample_bsdf(
