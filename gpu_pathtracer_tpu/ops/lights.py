@@ -44,6 +44,12 @@ class LightTree:
     centroid: jnp.ndarray  # (E, 3)
     tol: jnp.ndarray  # (E,) watertight-hit tolerance
     geom_slot: jnp.ndarray  # (E,) int32 row in the SORTED scene arrays
+    # dense-topology tables (built once, host side) for the matmul-form pdf:
+    sib: jnp.ndarray  # (2E-1,) int32 sibling node id (root -> itself)
+    anc: jnp.ndarray  # (2E-1, E) f32 1.0 where node lies on root->leaf path
+    node_centroid: jnp.ndarray  # (2E-1, 3) leaf centroid (zeros on internals)
+    node_avg_normal: jnp.ndarray  # (2E-1, 3)
+    node_is_leaf: jnp.ndarray  # (2E-1,) bool
     num_lights: int = 0
     depth: int = 1  # max leaf->root path length (static, for fori_loop pdfs)
 
@@ -88,22 +94,45 @@ def build_light_tree(
             lambda c: c[1], body, (node_energy, jnp.bool_(True))
         )
 
-    # static max depth (leaf -> root) for the differentiable pdf walk
-    if e > 1:
-        import numpy as np
+    # host-side topology tables: depth, sibling map, and the root->leaf
+    # ancestor incidence matrix that turns the per-leaf pdf walk
+    # (get_node_pdf, bvh_traversal_target.h:48-77) into one matmul
+    import numpy as np
 
-        parent_np = np.asarray(tree.parent)
-        depth = 1
-        cur = np.arange(e, dtype=np.int64) + (e - 1)
-        while (cur > 0).any():
-            cur = np.where(cur > 0, parent_np[np.maximum(cur, 0)], cur)
+    total = 2 * e - 1
+    leaf_base = e - 1
+    if e > 1:
+        parent_np = np.asarray(tree.parent).astype(np.int64)
+        left_np = np.asarray(tree.left).astype(np.int64)  # internal: left child
+        esc_np = np.asarray(tree.escape).astype(np.int64)
+        lchild = left_np[:leaf_base]
+        rchild = esc_np[lchild]  # right sibling = left child's escape
+
+        sib_np = np.arange(total, dtype=np.int64)
+        sib_np[lchild] = rchild
+        sib_np[rchild] = lchild
+
+        anc_np = np.zeros((total, e), np.float32)
+        cur = np.arange(e, dtype=np.int64) + leaf_base
+        depth = 0
+        while True:
+            anc_np[cur, np.arange(e)] = 1.0
             depth += 1
-            if depth > 2 * e + 2:  # defensive: malformed tree
+            done = cur == 0
+            if done.all() or depth > 2 * e + 2:
                 break
+            cur = np.where(done, cur, parent_np[cur])
     else:
+        sib_np = np.zeros((1,), np.int64)
+        anc_np = np.ones((1, 1), np.float32)
         depth = 1
 
     avg_normal = linalg.normalize(jnp.mean(tri_n, axis=1), SMALL_EPS)
+    centroid = jnp.mean(tri_p, axis=1)
+    zeros_int = jnp.zeros((leaf_base, 3), jnp.float32)
+    node_centroid = jnp.concatenate([zeros_int, centroid], axis=0)
+    node_avg_normal = jnp.concatenate([zeros_int, avg_normal], axis=0)
+    node_is_leaf = jnp.arange(total) >= leaf_base
     return LightTree(
         tree=tree,
         node_energy=node_energy,
@@ -112,9 +141,14 @@ def build_light_tree(
         tri_uv=tri_uv,
         area=intersect.triangle_area(tri_p),
         avg_normal=avg_normal,
-        centroid=jnp.mean(tri_p, axis=1),
+        centroid=centroid,
         tol=intersect.triangle_tolerance(tri_p),
         geom_slot=geom_slot,
+        sib=jnp.asarray(sib_np, jnp.int32),
+        anc=jnp.asarray(anc_np),
+        node_centroid=node_centroid,
+        node_avg_normal=node_avg_normal,
+        node_is_leaf=node_is_leaf,
         num_lights=e,
         depth=depth,
     )
@@ -225,15 +259,74 @@ def sample_point_on_light(
     )
 
 
+def _importance_tables(lt: LightTree, perm: jnp.ndarray | None = None):
+    """Per-node data consumed by the dense importance eval; `perm` gathers
+    the sibling-permuted copy (a one-off (T, C) table gather, not per-ray)."""
+    centers = 0.5 * (lt.tree.aabb_min + lt.tree.aabb_max)
+    energy = lt.node_energy
+    centroid = lt.node_centroid
+    avg_n = lt.node_avg_normal
+    is_leaf = lt.node_is_leaf
+    if perm is not None:
+        centers = centers[perm]
+        energy = energy[perm]
+        centroid = centroid[perm]
+        avg_n = avg_n[perm]
+        is_leaf = is_leaf[perm]
+    return centers, energy, centroid, avg_n, is_leaf
+
+
+def _dense_importance(tables, point, pivot):
+    """Node::compute_importance for EVERY node at once: (R, 3) -> (R, T).
+
+    Pure broadcasting — no per-ray gathers (the TPU-hostile construct the
+    reference's pointer walk would imply)."""
+    centers, energy, centroid, avg_n, is_leaf = tables
+    d = point[..., None, :] - centers  # (R, T, 3)
+    dist2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-30)
+    dtp = linalg.normalize(point[..., None, :] - centroid, SMALL_EPS)
+    fac = jnp.maximum(
+        0.0,
+        linalg.dot(avg_n, dtp) * linalg.dot(-dtp, pivot[..., None, :]),
+    )
+    eff = jnp.where(is_leaf[..., None], energy * fac[..., None], energy)
+    return linalg.length(eff) / dist2
+
+
 def leaf_node_pdfs(
     lt: LightTree, point: jnp.ndarray, pivot: jnp.ndarray
 ) -> jnp.ndarray:
     """Per-leaf selection pdf = product of branch probabilities root->leaf
     (get_node_pdf, bvh_traversal_target.h:48-77), for ALL leaves at once.
 
-    point/pivot (R, 3) -> (R, E).  NaN/inf branch ratios fall back to 0.5
-    exactly like the reference.
+    Dense matmul form: branch ratio of every node against its sibling is
+    computed with two broadcast importance evals (the sibling side uses
+    permuted tables built at construction), and the per-leaf product becomes
+    exp(log_ratio @ ancestor_matrix) — one MXU contraction instead of a
+    per-ray pointer walk.  point/pivot (R, 3) -> (R, E).  NaN/inf branch
+    ratios fall back to 0.5 exactly like the reference.
     """
+    e = lt.num_lights
+    if e == 1:
+        return jnp.ones(point.shape[:-1] + (1,))
+    total = 2 * e - 1
+
+    imp = _dense_importance(_importance_tables(lt), point, pivot)
+    imp_sib = _dense_importance(_importance_tables(lt, lt.sib), point, pivot)
+    ratio = imp / (imp + imp_sib)
+    ratio = jnp.where(jnp.isfinite(ratio), ratio, 0.5)
+    # the root has no sibling; its "ratio" multiplies every path, so force 1
+    is_root = jnp.arange(total) == 0
+    ratio = jnp.where(is_root, 1.0, ratio)
+    log_pdf = jnp.log(jnp.clip(ratio, 1e-35, 1.0)) @ lt.anc  # (R, E)
+    return jnp.exp(log_pdf)
+
+
+def leaf_node_pdfs_walk(
+    lt: LightTree, point: jnp.ndarray, pivot: jnp.ndarray
+) -> jnp.ndarray:
+    """Reference formulation: bounded leaf->root walk multiplying branch
+    ratios (kept as the cross-check oracle for `leaf_node_pdfs`)."""
     e = lt.num_lights
     if e == 1:
         return jnp.ones(point.shape[:-1] + (1,))
