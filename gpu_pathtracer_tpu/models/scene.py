@@ -38,6 +38,8 @@ class GeometrySet:
     mat_id: jnp.ndarray  # (T,) int32
     obj_id: jnp.ndarray  # (T,) int32 usemtl-group index (object.h:13)
     valid: jnp.ndarray  # (T,) bool
+    tri_cols: jnp.ndarray | None = None  # (NT, 16, TK) Pallas tile SoA
+    tile_aabb: jnp.ndarray | None = None  # (NT, 8) Pallas tile AABBs
     num_tris: int = 0
 
 
@@ -85,16 +87,24 @@ def _build_geometry_set(
     order = np.asarray(bvh.order)  # (T,) -1 pad
     safe = np.maximum(order, 0)
     valid = order >= 0
+    p_sorted = jnp.asarray(tri_p[safe])
+    tol_sorted = intersect.triangle_tolerance(p_sorted)
+    valid_j = jnp.asarray(valid)
+    from gpu_pathtracer_tpu.ops import pallas_trace
+
+    tri_cols, tile_aabb = pallas_trace.pack_tri_cols(p_sorted, tol_sorted, valid_j)
     return GeometrySet(
         bvh=bvh,
-        p=jnp.asarray(tri_p[safe]),
+        p=p_sorted,
         n=jnp.asarray(tri_n[safe]),
         uv=jnp.asarray(tri_uv[safe]),
         tangent=jnp.asarray(tri_tangent[safe]),
-        tol=intersect.triangle_tolerance(jnp.asarray(tri_p[safe])),
+        tol=tol_sorted,
         mat_id=jnp.asarray(np.where(valid, mat_id[safe], 0), np.int32),
         obj_id=jnp.asarray(np.where(valid, obj_id[safe], -1), np.int32),
-        valid=jnp.asarray(valid),
+        valid=valid_j,
+        tri_cols=tri_cols,
+        tile_aabb=tile_aabb,
         num_tris=int(tri_p.shape[0]),
     )
 

@@ -1,0 +1,261 @@
+"""Pallas TPU kernel for closest-hit ray/triangle intersection.
+
+The hot query of the whole renderer (the reference spends its time in
+`traverse_bvh` + `Triangle::hit`, bvh_traversal.h:12-84 / triangle.h:343-408).
+This kernel evaluates the watertight Woop test for (ray-block x tri-tile)
+pairs entirely in VMEM:
+
+* grid over ray blocks; each program loops over Morton-ordered triangle
+  tiles with a running (best_t, best_slot) carry — one kernel, no HBM
+  round-trips between tiles;
+* per-tile AABB culling: because the triangle SoA is Morton-sorted, each
+  tile's AABB is tight; a block skips the whole pair-tile when none of its
+  rays' slabs intersect it (`lax.cond`) — the TPU answer to BVH early-out;
+* triangles live in VMEM as a (16, T) column SoA so per-triangle values are
+  natural (1, TK) lane vectors; rays as (RB, 8) rows so per-ray values are
+  (RB, 1) sublane vectors — the pair math is pure (RB, TK) VPU broadcasting;
+* the argmin is two lane reductions (min, then first-lane-equal) — Mosaic
+  has no native argmin.
+
+Zero-padding invalid triangle rows makes them det==0 misses, so no validity
+mask enters the kernel.  Outputs are piecewise-constant in upstream
+parameters (hit topology), so the wrapper stops gradients — barycentrics of
+the winner are recomputed differentiably outside (ops/trace.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_BLOCK = 256
+TRI_TILE = 512
+_INF = 3.4e38  # plain float: jnp scalars would be captured consts in the kernel
+
+
+def pack_tri_cols(p, tol, valid, tile: int = TRI_TILE):
+    """(T, 3, 3) triangles -> (NT, 16, TK) f32 tile SoA + (NT, 8) tile AABBs.
+
+    Per tile, rows 0-8 are v1xyz v2xyz v3xyz columns, row 9 the per-triangle
+    tolerance.  Invalid rows are zeroed (degenerate -> det == 0 -> miss).
+    Tile-major layout so the kernel indexes tiles on the array's major dim
+    (the Mosaic-native dynamic index).
+    """
+    t = p.shape[0]
+    pad = (-t) % tile
+    pz = jnp.where(valid[:, None, None], p, 0.0)
+    tolz = jnp.where(valid, tol, jnp.inf)
+    if pad:
+        pz = jnp.concatenate([pz, jnp.zeros((pad, 3, 3), p.dtype)])
+        tolz = jnp.concatenate([tolz, jnp.full((pad,), jnp.inf)])
+    tp = t + pad
+    nt = tp // tile
+    cols = jnp.concatenate(
+        [pz.reshape(tp, 9).T, tolz[None, :], jnp.zeros((6, tp), jnp.float32)],
+        axis=0,
+    )  # (16, Tpad)
+    cols = cols.reshape(16, nt, tile).transpose(1, 0, 2)  # (NT, 16, TK)
+
+    # per-tile AABBs (all-invalid tiles get inverted boxes -> never hit)
+    tiles = pz.reshape(nt, tile, 3, 3)
+    big = jnp.float32(3.4e38)
+    vmask = jnp.concatenate([valid, jnp.zeros((pad,), bool)]).reshape(
+        nt, tile, 1, 1
+    )
+    tmin = jnp.min(jnp.where(vmask, tiles, big), axis=(1, 2))  # (NT, 3)
+    tmax = jnp.max(jnp.where(vmask, tiles, -big), axis=(1, 2))
+    aabb = jnp.concatenate(
+        [tmin, tmax, jnp.zeros((nt, 2), jnp.float32)], axis=1
+    )  # (NT, 8)
+    return cols, aabb
+
+
+def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
+                    *, n_tiles: int, tile: int):
+    rays = rays_ref[:]  # (RB, 8)
+    rb = rays.shape[0]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx_, dy_, dz_ = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    t_cap = rays[:, 6:7]
+
+    # dominant-axis permutation (branch-free selects, cf. ops/intersect.py)
+    ax, ay, az = jnp.abs(dx_), jnp.abs(dy_), jnp.abs(dz_)
+    is2 = (az >= ax) & (az >= ay)
+    is1 = (~is2) & (ay >= ax)
+    is0 = ~(is1 | is2)
+
+    def perm(vx, vy, vz):
+        x = jnp.where(is0, vy, jnp.where(is1, vz, vx))
+        y = jnp.where(is0, vz, jnp.where(is1, vx, vy))
+        z = jnp.where(is0, vx, jnp.where(is1, vy, vz))
+        return x, y, z
+
+    dx, dy, dz = perm(dx_, dy_, dz_)
+    sx = -dx / dz
+    sy = -dy / dz
+    sz = 1.0 / dz
+
+    # slab-test constants
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx_) < 1e-20, 1e-20, dx_)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy_) < 1e-20, 1e-20, dy_)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz_) < 1e-20, 1e-20, dz_)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, tile), 1)
+
+    def tile_body(ti, carry):
+        best_t, best_slot = carry  # (RB, 1) f32 / int32
+
+        # block-level cull: does ANY ray's slab hit this tile's AABB?
+        box = aabb_ref[pl.ds(ti, 1), :]  # (1, 8)
+        bmin_x = box[0:1, 0:1]
+        bmin_y = box[0:1, 1:2]
+        bmin_z = box[0:1, 2:3]
+        bmax_x = box[0:1, 3:4]
+        bmax_y = box[0:1, 4:5]
+        bmax_z = box[0:1, 5:6]
+        t0x = (bmin_x - ox) * inv_dx
+        t1x = (bmax_x - ox) * inv_dx
+        t0y = (bmin_y - oy) * inv_dy
+        t1y = (bmax_y - oy) * inv_dy
+        t0z = (bmin_z - oz) * inv_dz
+        t1z = (bmax_z - oz) * inv_dz
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+
+        def compute(carry):
+            best_t, best_slot = carry
+            tv = tris_ref[ti]  # (16, TK)
+            tri_tol = tv[9:10, :]
+
+            def corner(c):
+                vx = tv[3 * c + 0 : 3 * c + 1, :] - ox  # (RB, TK)
+                vy = tv[3 * c + 1 : 3 * c + 2, :] - oy
+                vz = tv[3 * c + 2 : 3 * c + 3, :] - oz
+                px, py, pz_ = perm(vx, vy, vz)
+                return px + sx * pz_, py + sy * pz_, pz_ * sz
+
+            x1, y1, z1 = corner(0)
+            x2, y2, z2 = corner(1)
+            x3, y3, z3 = corner(2)
+            e1 = x2 * y3 - y2 * x3
+            e2 = x3 * y1 - y3 * x1
+            e3 = x1 * y2 - y1 * x2
+            mixed = ((e1 < 0) | (e2 < 0) | (e3 < 0)) & (
+                (e1 > 0) | (e2 > 0) | (e3 > 0)
+            )
+            det = e1 + e2 + e3
+            ts = e1 * z1 + e2 * z2 + e3 * z3
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            t = ts * inv_det
+            hit = (
+                (~mixed)
+                & (det != 0.0)
+                & (t < best_t)
+                & (t <= t_cap)
+                & (t >= tri_tol)
+            )
+            t = jnp.where(hit, t, _INF)
+            t_min = jnp.min(t, axis=1, keepdims=True)  # (RB, 1)
+            k = jnp.min(
+                jnp.where(t == t_min, lane, jnp.int32(2**30)),
+                axis=1,
+                keepdims=True,
+            )
+            better = t_min < best_t
+            best_t = jnp.where(better, t_min, best_t)
+            best_slot = jnp.where(better, ti * tile + k, best_slot)
+            return best_t, best_slot
+
+        return jax.lax.cond(any_hit, compute, lambda c: c, (best_t, best_slot))
+
+    best_t0 = jnp.minimum(jnp.full((rb, 1), _INF), t_cap)
+    best_slot0 = jnp.full((rb, 1), -1, jnp.int32)
+    best_t, best_slot = jax.lax.fori_loop(
+        0, n_tiles, tile_body, (best_t0, best_slot0)
+    )
+    out_t_ref[:] = best_t
+    out_slot_ref[:] = best_slot
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_call(tri_cols, tile_aabb, rays, *, interpret: bool):
+    r = rays.shape[0]
+    n_tiles = tri_cols.shape[0]
+    n_blocks = r // RAY_BLOCK
+    kernel = functools.partial(
+        _closest_kernel, n_tiles=n_tiles, tile=TRI_TILE
+    )
+    out_t, out_slot = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (RAY_BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri SoA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(rays, tri_cols, tile_aabb)
+    return out_t[:, 0], out_slot[:, 0]
+
+
+def closest_hit_pallas(
+    tri_cols: jnp.ndarray,  # (16, Tpad) from pack_tri_cols
+    tile_aabb: jnp.ndarray,  # (8, NT)
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3)
+    t_max: jnp.ndarray | float = jnp.inf,
+    interpret: bool | None = None,
+):
+    """Closest hit for a ray batch.  Returns (t, slot, hit); slot indexes the
+    sorted triangle SoA, -1 on miss.  Non-differentiable by construction
+    (stop_gradient); recompute winner attributes outside."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r = origin.shape[0]
+    pad = (-r) % RAY_BLOCK
+    t_max_b = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), (r,)
+    ).astype(jnp.float32)
+    rays = jnp.concatenate(
+        [
+            origin,
+            direction,
+            jnp.minimum(t_max_b, _INF)[:, None],
+            jnp.zeros((r, 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+    if pad:
+        filler = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(1.0)
+        rays = jnp.concatenate([rays, filler])
+    rays = jax.lax.stop_gradient(rays)
+    t, slot = _closest_call(
+        jax.lax.stop_gradient(tri_cols),
+        jax.lax.stop_gradient(tile_aabb),
+        rays,
+        interpret=interpret,
+    )
+    t, slot = t[:r], slot[:r]
+    hit = slot >= 0
+    return jnp.where(hit, t, jnp.inf), slot, hit

@@ -108,16 +108,20 @@ def closest_hit_dense(
             (jnp.arange(n_tiles, dtype=jnp.int32), p_tiles, tol_tiles, valid_tiles),
         )
     hit = best_slot >= 0
+    best_bary = winner_bary(p, tol, origin, direction, best_slot, hit)
+    return jnp.where(hit, best_t, jnp.inf), best_slot, best_bary, hit
 
-    # recompute barycentrics for just the winning triangle (K=1)
-    safe = jnp.maximum(best_slot, 0)
+
+def winner_bary(p, tol, origin, direction, slot, hit):
+    """Barycentrics of the winning triangle, recomputed differentiably for
+    just that one (K=1) candidate."""
+    safe = jnp.maximum(slot, 0)
     tri_w = gather_rows(p, safe)  # (R, 3, 3)
     tol_w = tol[safe]
     _, bary_w, _ = isect.intersect_tris(
         origin, direction, tri_w[:, None], tol_w[:, None], jnp.inf
     )
-    best_bary = jnp.where(hit[:, None], bary_w[:, 0], 0.0)
-    return jnp.where(hit, best_t, jnp.inf), best_slot, best_bary, hit
+    return jnp.where(hit[:, None], bary_w[:, 0], 0.0)
 
 
 def occluded_dense(
@@ -163,12 +167,34 @@ def occluded_dense(
     return occ
 
 
+# triangle cap for the VMEM-resident Pallas kernel (64 B/tri of VMEM)
+PALLAS_MAX = int(os.environ.get("GPT_TPU_PALLAS_MAX", "131072"))
+
+
 def _use_dense(g) -> bool:
     return g.p.shape[0] <= DENSE_MAX
 
 
+def _use_pallas(g) -> bool:
+    if os.environ.get("GPT_TPU_DISABLE_PALLAS"):
+        return False
+    return (
+        getattr(g, "tri_cols", None) is not None
+        and g.p.shape[0] <= PALLAS_MAX
+        and jax.default_backend() == "tpu"
+    )
+
+
 def closest_hit(g, origin, direction, t_max=jnp.inf):
     """Closest hit against a GeometrySet (strategy picked by scene size)."""
+    if _use_pallas(g):
+        from gpu_pathtracer_tpu.ops import pallas_trace
+
+        t, slot, hit = pallas_trace.closest_hit_pallas(
+            g.tri_cols, g.tile_aabb, origin, direction, t_max
+        )
+        bary = winner_bary(g.p, g.tol, origin, direction, slot, hit)
+        return t, slot, bary, hit
     if _use_dense(g):
         return closest_hit_dense(g.p, g.tol, g.valid, origin, direction, t_max)
     return bvh_mod.traverse_closest(g.bvh, g.p, g.tol, origin, direction, t_max)

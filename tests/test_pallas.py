@@ -1,0 +1,62 @@
+"""Pallas closest-hit kernel vs the dense XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_pathtracer_tpu.ops import intersect, pallas_trace, trace
+
+
+def _random_tris(key, n, lo=-2.0, hi=2.0):
+    base = jax.random.uniform(key, (n, 1, 3), minval=lo, maxval=hi)
+    edge = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2, 3), minval=-0.7, maxval=0.7)
+    tris = jnp.concatenate([base, base + edge], axis=1)
+    return tris
+
+
+@pytest.mark.parametrize("n,r", [(50, 64), (700, 256), (1300, 512)])
+def test_pallas_matches_dense(n, r):
+    key = jax.random.key(n + r)
+    tris = _random_tris(key, n)
+    tol = intersect.triangle_tolerance(tris)
+    valid = jnp.ones((n,), bool)
+
+    o = jax.random.uniform(jax.random.fold_in(key, 2), (r, 3), minval=-3, maxval=3)
+    d = jax.random.normal(jax.random.fold_in(key, 3), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    t_ref, slot_ref, _, hit_ref = trace.closest_hit_dense(tris, tol, valid, o, d)
+
+    cols, aabb = pallas_trace.pack_tri_cols(tris, tol, valid)
+    t_p, slot_p, hit_p = pallas_trace.closest_hit_pallas(
+        cols, aabb, o, d, interpret=True
+    )
+
+    np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_p))
+    np.testing.assert_array_equal(np.asarray(slot_ref), np.asarray(slot_p))
+    h = np.asarray(hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[h], np.asarray(t_p)[h], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_t_max_and_padding():
+    key = jax.random.key(7)
+    n, r = 130, 100  # both non-multiples of the block sizes
+    tris = _random_tris(key, n)
+    tol = intersect.triangle_tolerance(tris)
+    valid = jnp.ones((n,), bool).at[5].set(False)
+
+    o = jnp.zeros((r, 3))
+    d = jax.random.normal(jax.random.fold_in(key, 1), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jax.random.uniform(jax.random.fold_in(key, 2), (r,), minval=0.5, maxval=4.0)
+
+    t_ref, slot_ref, _, hit_ref = trace.closest_hit_dense(tris, tol, valid, o, d, t_max)
+    cols, aabb = pallas_trace.pack_tri_cols(tris, tol, valid)
+    t_p, slot_p, hit_p = pallas_trace.closest_hit_pallas(
+        cols, aabb, o, d, t_max, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_p))
+    np.testing.assert_array_equal(np.asarray(slot_ref), np.asarray(slot_p))
