@@ -18,7 +18,13 @@ def tonemap(image: np.ndarray) -> np.ndarray:
 
 
 def save_ppm(image: np.ndarray, path: str | pathlib.Path) -> None:
-    """Write (H, W, 3) linear-radiance image as ASCII PPM (image_util.h:50)."""
+    """Write (H, W, 3) linear-radiance image as ASCII PPM (image_util.h:50).
+
+    Uses the native writer (csrc/image_io.cpp) when built."""
+    from gpu_pathtracer_tpu.utils import native
+
+    if native.write_ppm_native(path, np.nan_to_num(np.asarray(image, np.float32))):
+        return
     img = tonemap(image)
     h, w = img.shape[:2]
     ints = (255.99 * img).astype(np.int32)

@@ -94,6 +94,12 @@ class TextureAtlas:
 
 
 def _load_image_rgb(path: pathlib.Path) -> np.ndarray:
+    if path.suffix.lower() in (".jpg", ".jpeg"):
+        from gpu_pathtracer_tpu.utils import native
+
+        img = native.decode_jpeg_native(path)
+        if img is not None:
+            return img
     from PIL import Image
 
     with Image.open(path) as im:
@@ -289,7 +295,40 @@ def parse_obj(
     Fan-triangulates polygons; `usemtl` starts a new object group; missing
     vt/vn indices resolve to a zero entry at index 0.  Returns
     (tri_vidx, tri_tidx, tri_nidx, mat_idx, object_idx, verts, uvs, norms).
+
+    Uses the native C++ tokenizer (csrc/obj_parser.cpp) when built; the
+    Python path below is the fallback and oracle.
     """
+    from gpu_pathtracer_tpu.utils import native
+
+    path = pathlib.Path(folder) / obj_filename
+    raw = native.parse_obj_native(path, materials.name)
+    if raw is None:
+        raw = _parse_obj_python(path, materials)
+    tri_vidx, tri_tidx, tri_nidx, mat_idx, object_idx, verts, uvs, norms = raw
+
+    # slot for "absent" vt/vn: a zero row appended at the end; -1 remaps to it
+    norms = np.concatenate([norms, np.zeros((1, 3), np.float32)])
+    uvs = np.concatenate([uvs, np.zeros((1, 2), np.float32)])
+    tri_tidx = np.where(tri_tidx < 0, len(uvs) - 1, tri_tidx).astype(np.int32)
+    tri_nidx = np.where(tri_nidx < 0, len(norms) - 1, tri_nidx).astype(np.int32)
+    return (
+        tri_vidx.astype(np.int32),
+        tri_tidx,
+        tri_nidx,
+        mat_idx.astype(np.int32),
+        object_idx.astype(np.int32),
+        verts.astype(np.float32),
+        uvs.astype(np.float32),
+        norms.astype(np.float32),
+    )
+
+
+def _parse_obj_python(
+    path: pathlib.Path, materials: HostMaterials
+) -> tuple[np.ndarray, ...]:
+    """Pure-Python OBJ tokenizer (same raw contract as the native parser:
+    absent vt/vn indices are -1; no fallback rows appended)."""
     verts: list[list[float]] = []
     uvs: list[list[float]] = []
     norms: list[list[float]] = []
@@ -302,7 +341,6 @@ def parse_obj(
     cur_object = -1
 
     name_to_idx = {n: i for i, n in enumerate(materials.name)}
-    path = pathlib.Path(folder) / obj_filename
     for raw in path.read_text(errors="replace").splitlines():
         line = " ".join(raw.split())
         if not line:
@@ -344,19 +382,10 @@ def parse_obj(
                 mat_idx.append(current_mat)
                 object_idx.append(max(cur_object, 0))
 
-    # slot 0 of the *fallback* arrays: a zero normal / zero uv appended at
-    # the end; -1 indices are remapped to it
-    norms.append([0.0, 0.0, 0.0])
-    uvs.append([0.0, 0.0])
-    tri_tidx_arr = np.asarray(tri_tidx, np.int64).reshape(-1, 3)
-    tri_nidx_arr = np.asarray(tri_nidx, np.int64).reshape(-1, 3)
-    tri_tidx_arr[tri_tidx_arr < 0] = len(uvs) - 1
-    tri_nidx_arr[tri_nidx_arr < 0] = len(norms) - 1
-
     return (
         np.asarray(tri_vidx, np.int32).reshape(-1, 3),
-        tri_tidx_arr.astype(np.int32),
-        tri_nidx_arr.astype(np.int32),
+        np.asarray(tri_tidx, np.int32).reshape(-1, 3),
+        np.asarray(tri_nidx, np.int32).reshape(-1, 3),
         np.asarray(mat_idx, np.int32),
         np.asarray(object_idx, np.int32),
         np.asarray(verts, np.float32).reshape(-1, 3),
