@@ -401,3 +401,68 @@ def traverse_any(
         cond, body, (jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool), jnp.int32(0))
     )
     return occluded
+
+
+def validate(bvh: BVH, prim_min=None, prim_max=None, atol: float = 1e-5):
+    """Structural invariant check — the library form of the reference's
+    post-build `check` kernel (bvh_building.h:187-219), generalized:
+
+    * every internal node has exactly two children whose `parent` points back;
+    * every internal AABB contains both child AABBs;
+    * leaf AABBs contain their primitives' AABBs (when prim bounds given);
+    * `order` is a permutation of the primitive rows plus -1 padding;
+    * the root has no parent and ends traversal (`escape == -1`).
+
+    Returns a dict of failure counts (all zero == valid); host-side numpy,
+    intended for tests and debugging, not the hot path.
+    """
+    import numpy as np
+
+    m = bvh.num_leaves
+    parent = np.asarray(bvh.parent)
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    order = np.asarray(bvh.order)
+    fails = {}
+
+    if m == 1:
+        fails["root_parent"] = int(parent[0] != -1)
+        fails["root_escape"] = int(np.asarray(bvh.escape)[0] != -1)
+    else:
+        child_count = np.zeros(m - 1, np.int64)
+        valid_parent = parent[1:]  # root excluded
+        fails["orphan_nonroot"] = int(np.sum(valid_parent < 0))
+        np.add.at(child_count, parent[parent >= 0], 1)
+        fails["internal_degree"] = int(np.sum(child_count != 2))
+        # containment: every non-root node inside its parent's AABB
+        has_parent = parent >= 0
+        p = parent[has_parent]
+        fails["aabb_containment"] = int(
+            np.sum(
+                np.any(amin[has_parent] < amin[p] - atol, axis=-1)
+                | np.any(amax[has_parent] > amax[p] + atol, axis=-1)
+            )
+        )
+        fails["root_parent"] = int(parent[0] != -1)
+        fails["root_escape"] = int(np.asarray(bvh.escape)[0] != -1)
+
+    real = order[order >= 0]
+    fails["order_permutation"] = int(
+        len(real) != len(np.unique(real))
+        or (prim_min is not None and len(real) != len(prim_min))
+    )
+    if prim_min is not None:
+        pmin = np.asarray(prim_min)
+        pmax = np.asarray(prim_max)
+        leaf_base = m - 1 if m > 1 else 0
+        leaf_of_slot = np.repeat(np.arange(m), bvh.leaf_size)
+        ok = order >= 0
+        node = leaf_base + leaf_of_slot[ok]
+        rows = order[ok]
+        fails["leaf_containment"] = int(
+            np.sum(
+                np.any(pmin[rows] < amin[node] - atol, axis=-1)
+                | np.any(pmax[rows] > amax[node] + atol, axis=-1)
+            )
+        )
+    return fails

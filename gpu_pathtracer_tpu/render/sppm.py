@@ -806,9 +806,17 @@ def eye_pass(
 # driver
 # ---------------------------------------------------------------------------
 
-def render_sppm(scene: Scene, camera, cfg, key) -> "np.ndarray":
+def render_sppm(
+    scene: Scene, camera, cfg, key, output_prefix: str | None = None
+) -> "np.ndarray":
     """Full SPPM render (main.cu:1213-1869 SPPM branch).  Returns (H, W, 3)
-    combined (direct + indirect) linear radiance."""
+    combined (direct + indirect) linear radiance.
+
+    With `output_prefix` set, emits the reference's debug/progress artifacts:
+    a hit-point splat after the init pass (main.cu:1256-1270 `_hit_point.ppm`)
+    and, every `cfg.ppm_image_output_iteration` passes, direct / indirect /
+    combined images plus surface- and volume-photon splats
+    (main.cu:1830-1867, :1310-1382)."""
     import numpy as np
 
     w, h = cfg.image_width, cfg.image_height
@@ -874,6 +882,17 @@ def render_sppm(scene: Scene, camera, cfg, key) -> "np.ndarray":
         valid=valid,
     )
 
+    if output_prefix is not None:
+        from gpu_pathtracer_tpu.render.splat import splat_points
+        from gpu_pathtracer_tpu.utils.image import save_ppm
+
+        save_ppm(
+            np.asarray(
+                splat_points(camera, hp.loc, hp.filter, w, h, hp.valid)
+            ),
+            f"{output_prefix}_hit_point.ppm",
+        )
+
     gather_jit = jax.jit(functools.partial(surface_gather, k_nearest=16))
 
     @jax.jit
@@ -934,6 +953,40 @@ def render_sppm(scene: Scene, camera, cfg, key) -> "np.ndarray":
             scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid
         )
         hp = update(hp, flux, jnp.float32(it + 1))
+
+        every = max(int(cfg.ppm_image_output_iteration), 1)
+        if output_prefix is not None and (
+            (it + 1) % every == 0 or it + 1 == num_pass
+        ):
+            from gpu_pathtracer_tpu.render.splat import splat_points
+            from gpu_pathtracer_tpu.utils.image import save_ppm
+
+            passes = it + 1
+            direct_img = np.asarray(
+                linalg.de_nan(hp.direct / passes).reshape(h, w, 3)
+            )
+            indirect_img = np.asarray(
+                linalg.de_nan(hp.indirect / passes).reshape(h, w, 3)
+            )
+            save_ppm(direct_img, f"{output_prefix}_direct.ppm")
+            save_ppm(indirect_img, f"{output_prefix}_indirect.ppm")
+            save_ppm(direct_img + indirect_img, f"{output_prefix}.ppm")
+            surf = photons.valid & photons.on_surface
+            save_ppm(
+                np.asarray(
+                    splat_points(camera, photons.pos, photons.color, w, h, surf)
+                ),
+                f"{output_prefix}_surface_photon.ppm",
+            )
+            save_ppm(
+                np.asarray(
+                    splat_points(
+                        camera, photons.pos, photons.color, w, h,
+                        photons.valid & ~photons.on_surface,
+                    )
+                ),
+                f"{output_prefix}_volume_photon.ppm",
+            )
 
     img = (hp.direct + hp.indirect) / num_pass
     return np.asarray(linalg.de_nan(img).reshape(h, w, 3))

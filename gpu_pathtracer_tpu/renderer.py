@@ -75,6 +75,7 @@ def render_from_config(cfg: RenderConfig, key=None) -> np.ndarray:
     scene, camera = load_scene_from_config(cfg)
     if key is None:
         key = jax.random.key(cfg.seed)
+    out_prefix = str(pathlib.Path(cfg.image_output_path).with_suffix(""))
     if cfg.sss_pts_per_object > 0:
         from gpu_pathtracer_tpu.render.sss import attach_sss
 
@@ -87,11 +88,25 @@ def render_from_config(cfg: RenderConfig, key=None) -> np.ndarray:
                 level=cfg.pathtracing_level,
                 hittable_pdf_weight=cfg.hittable_pdf_weight,
             )
+        if scene.sss is not None:
+            # SSS point-cloud splat debug image (main.cu:1240-1260 _pts.ppm)
+            from gpu_pathtracer_tpu.render.splat import splat_points
+            from gpu_pathtracer_tpu.utils.image import save_ppm
+
+            save_ppm(
+                np.asarray(
+                    splat_points(
+                        camera, scene.sss.pos, scene.sss.color,
+                        cfg.image_width, cfg.image_height, scene.sss.valid,
+                    )
+                ),
+                f"{out_prefix}_pts.ppm",
+            )
     if cfg.render_mode == 2:
         from gpu_pathtracer_tpu.render.sppm import render_sppm
 
         with _log("SPPM render"):
-            img = render_sppm(scene, camera, cfg, key)
+            img = render_sppm(scene, camera, cfg, key, output_prefix=out_prefix)
     else:
         with _log("path-tracing render"):
             img = render_image(
