@@ -127,6 +127,8 @@ class MaterialTable:
     def bump_vector(self, mat_id, uv):
         """2*bm*(tex - 0.5); zero when the bump image is < 2x2
         (material.h:690-702)."""
+        if self.atlas.rgb.shape[0] <= 1:  # no real images -> never bumped
+            return jnp.zeros(mat_id.shape + (3,), self.atlas.rgb.dtype)
         safe = jnp.maximum(mat_id, 0)
         slot = self.tex_slot[safe, 4]
         has = (self.atlas.heights[slot] >= 2) & (self.atlas.widths[slot] >= 2)

@@ -26,14 +26,15 @@ the winner are recomputed differentiably outside (ops/trace.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 256
-TRI_TILE = 512
+RAY_BLOCK = int(os.environ.get("GPT_TPU_RAY_BLOCK", "256"))
+TRI_TILE = int(os.environ.get("GPT_TPU_TRI_TILE", "512"))
 _INF = 3.4e38  # plain float: jnp scalars would be captured consts in the kernel
 
 
@@ -194,7 +195,7 @@ def _closest_call(tri_cols, tile_aabb, rays, *, interpret: bool):
     n_tiles = tri_cols.shape[0]
     n_blocks = r // RAY_BLOCK
     kernel = functools.partial(
-        _closest_kernel, n_tiles=n_tiles, tile=TRI_TILE
+        _closest_kernel, n_tiles=n_tiles, tile=tri_cols.shape[2]
     )
     out_t, out_slot = pl.pallas_call(
         kernel,

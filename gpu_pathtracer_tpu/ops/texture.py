@@ -29,7 +29,13 @@ def lookup(atlas: Atlas, slot: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
     Matches Material::_get_texture (material.h:653-671) including the
     (W-1)/(H-1) scaling quirk.
+
+    Static fast path: an atlas holding only the 1x1 white default (no MTL
+    map_* entries anywhere in the scene) makes every fetch white, so the
+    gathers vanish at trace time — shapes are static under jit.
     """
+    if atlas.rgb.shape[0] <= 1:
+        return jnp.ones(slot.shape + (3,), atlas.rgb.dtype)
     w = atlas.widths[slot]
     h = atlas.heights[slot]
     off = atlas.offsets[slot]

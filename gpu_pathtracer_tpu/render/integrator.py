@@ -46,6 +46,9 @@ def interpolate_hit(g, table, slot, bary):
     n = linalg.normalize(jnp.sum(b * trace.gather_rows(g.n, s), axis=-2), SMALL_EPS)
     mat_id = g.mat_id[s]
 
+    if table.atlas.rgb.shape[0] <= 1:  # no images anywhere -> no bump maps
+        return point, uv, n, mat_id
+
     bump = table.bump_vector(mat_id, uv)  # (R, 3) [u, v, _]
     tangent = jnp.sum(b * trace.gather_rows(g.tangent, s), axis=-2)
     tan_ok = jnp.all(jnp.isfinite(tangent), axis=-1)
