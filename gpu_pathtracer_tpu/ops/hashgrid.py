@@ -1,0 +1,131 @@
+"""Spatial hash grid for photon-map radiance estimation.
+
+TPU-native replacement for the reference's per-pass photon LBVH rebuild +
+sphere-query traversal (`bvh_building_photon.h`, `bvh_traversal_photon.h`):
+BASELINE.json calls for hash-grid radiance estimation explicitly.  The grid
+is built with one `lax.sort` (points keyed by hashed cell id) and queried
+with two `searchsorted` per neighbor cell — every shape is static, so the
+whole build+query pipeline jits and shards.
+
+Design:
+
+* world positions are quantized to integer cells of `cell_size` (chosen by
+  the caller as the current max gather radius, so a radius-r query touches
+  at most the 27 cells around the query point);
+* cell ids are hashed into 2**`hash_bits` buckets (x,y,z prime XOR).  Hash
+  collisions merely add far-away candidates, which the caller's distance
+  test rejects — correctness never depends on the hash;
+* photons are sorted by hash id; per-cell ranges come from binary search
+  (`searchsorted`) over the sorted ids; a query gathers up to `k_per_cell`
+  photons from each of its 27 neighbor cells.
+
+Compared to the dense all-pairs gather this turns the per-pass cost from
+O(pixels * photons) into O(pixels * 27 * k_per_cell).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.pytree import pytree_dataclass
+
+_P1 = 73856093
+_P2 = 19349663
+_P3 = 83492791
+
+
+@pytree_dataclass(meta=("hash_bits",))
+class HashGrid:
+    """Photon positions bucketed by hashed grid cell."""
+
+    sorted_hash: jnp.ndarray  # (P,) int32 ascending (invalid photons -> max)
+    sorted_idx: jnp.ndarray  # (P,) int32 original photon rows
+    origin: jnp.ndarray  # (3,) grid origin (min corner)
+    cell_size: jnp.ndarray  # () float32
+    hash_bits: int = 20
+
+
+def _cell_hash(ix, iy, iz, hash_bits: int):
+    h = (ix * _P1) ^ (iy * _P2) ^ (iz * _P3)
+    return jnp.bitwise_and(h, (1 << hash_bits) - 1).astype(jnp.int32)
+
+
+def build_grid(
+    pos: jnp.ndarray,  # (P, 3)
+    valid: jnp.ndarray,  # (P,) bool
+    cell_size: jnp.ndarray,  # () float32 — typically the max gather radius
+    hash_bits: int = 20,
+) -> HashGrid:
+    """One sort builds the whole structure (jit-friendly, static shapes)."""
+    origin = jnp.min(jnp.where(valid[:, None], pos, jnp.inf), axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+    cell = jnp.maximum(cell_size, 1e-12)
+    q = jnp.floor((pos - origin[None, :]) / cell).astype(jnp.int32)
+    h = _cell_hash(q[:, 0], q[:, 1], q[:, 2], hash_bits)
+    # invalid photons sort to the end with an out-of-range key
+    h = jnp.where(valid, h, jnp.int32(1 << hash_bits))
+    idx = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    sh, si = jax.lax.sort_key_val(h, idx)
+    return HashGrid(
+        sorted_hash=sh,
+        sorted_idx=si,
+        origin=origin,
+        cell_size=cell,
+        hash_bits=hash_bits,
+    )
+
+
+# the 27 neighbor-cell offsets, (27, 3) int32
+_OFFSETS = jnp.stack(
+    jnp.meshgrid(
+        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+    ),
+    axis=-1,
+).reshape(27, 3).astype(jnp.int32)
+
+
+def query_candidates(
+    grid: HashGrid,
+    query_pos: jnp.ndarray,  # (R, 3)
+    k_per_cell: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate photon rows within the 27 cells around each query point.
+
+    Returns (idx, ok): (R, 27*K) int32 photon rows (clamped) and a bool mask.
+    Callers MUST still distance-test the candidates (hash collisions and
+    corner cells produce false positives; there are no false negatives for
+    query radii <= cell_size).
+    """
+    q = jnp.floor(
+        (query_pos - grid.origin[None, :]) / grid.cell_size
+    ).astype(jnp.int32)  # (R, 3)
+    cells = q[:, None, :] + _OFFSETS[None, :, :]  # (R, 27, 3)
+    h = _cell_hash(cells[..., 0], cells[..., 1], cells[..., 2], grid.hash_bits)
+
+    start = jnp.searchsorted(grid.sorted_hash, h, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(grid.sorted_hash, h, side="right").astype(jnp.int32)
+
+    k = k_per_cell
+    p = grid.sorted_idx.shape[0]
+    slots = start[..., None] + jnp.arange(k, dtype=jnp.int32)  # (R, 27, K)
+    ok = slots < end[..., None]
+    slots = jnp.clip(slots, 0, p - 1)
+    idx = grid.sorted_idx[slots]  # (R, 27, K)
+    idx = idx.reshape(idx.shape[0], -1)
+    ok = ok.reshape(ok.shape[0], -1)
+
+    # dedup: two neighbor cells can hash to the same bucket, returning the
+    # same photons twice (they would be double-counted in a flux sum).
+    # Sort candidate rows and mask repeats; order is irrelevant downstream.
+    sentinel = jnp.int32(p)
+    sorted_idx = jnp.sort(jnp.where(ok, idx, sentinel), axis=-1)
+    prev = jnp.concatenate(
+        [
+            jnp.full(sorted_idx.shape[:-1] + (1,), -1, jnp.int32),
+            sorted_idx[..., :-1],
+        ],
+        axis=-1,
+    )
+    ok = (sorted_idx < sentinel) & (sorted_idx != prev)
+    return jnp.minimum(sorted_idx, p - 1), ok

@@ -462,6 +462,87 @@ def volume_gather_segment(
     return jnp.sum(linalg.de_nan(contrib), axis=1)
 
 
+def surface_gather_grid(
+    scene: Scene,
+    photons: Photons,
+    hp_loc: jnp.ndarray,  # (R, 3)
+    hp_normal: jnp.ndarray,  # (R, 3)
+    hp_radius: jnp.ndarray,  # (R,)
+    hp_valid: jnp.ndarray,  # (R,)
+    k_nearest: int = 16,
+    k_per_cell: int = 8,
+    chunk: int = 16384,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hash-grid surface photon gather (BASELINE.json: hash-grid radiance
+    estimation replaces the reference's per-pass photon-BVH rebuild +
+    traversal, bvh_building_photon.h / bvh_traversal_photon.h:108-205).
+
+    One `lax.sort` builds the grid per pass; each hit point inspects only
+    the 27 cells around it (cell size = the current max gather radius), so
+    per-pass cost is O(pixels * 27 * k_per_cell) instead of the dense
+    O(pixels * photons).  Candidates are distance-filtered, reduced to the
+    `k_nearest` nearest, and visibility-checked exactly like the dense path.
+    """
+    from gpu_pathtracer_tpu.ops import hashgrid
+
+    g = scene.geom
+    sphot = photons.valid & photons.on_surface  # (P,)
+    # cell size = max radius over valid pixels (radii only shrink with passes)
+    r_max = jnp.max(jnp.where(hp_valid, hp_radius, 0.0))
+    grid = hashgrid.build_grid(photons.pos, sphot, r_max)
+
+    r_total = hp_loc.shape[0]
+    pad = (-r_total) % chunk
+    def padded(x, fill=0.0):
+        if not pad:
+            return x
+        filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, filler])
+
+    loc_c = padded(hp_loc).reshape(-1, chunk, 3)
+    nrm_c = padded(hp_normal).reshape(-1, chunk, 3)
+    rad_c = padded(hp_radius).reshape(-1, chunk)
+    val_c = padded(hp_valid, False).reshape(-1, chunk)
+
+    def one_chunk(args):
+        loc, nrm, rad, val = args
+        cand, ok = hashgrid.query_candidates(grid, loc, k_per_cell)  # (C, 27K)
+        cpos = photons.pos[cand]  # (C, 27K, 3)
+        d2 = jnp.sum((cpos - loc[:, None, :]) ** 2, axis=-1)
+        in_r = ok & val[:, None] & (d2 <= rad[:, None] ** 2)
+        key_val = jnp.where(in_r, -d2, -jnp.inf)
+        k = min(k_nearest, key_val.shape[-1])
+        top_val, top_pos = jax.lax.top_k(key_val, k)  # (C, K)
+        top_idx = jnp.take_along_axis(cand, top_pos, axis=-1)
+        cand_ok = jnp.isfinite(top_val)
+
+        prev = photons.prev[top_idx]  # (C, K, 3)
+        ray_vec = prev - loc[:, None, :]
+        ray_len = linalg.length(ray_vec)
+        ray_dir = linalg.normalize(ray_vec, SMALL_EPS)
+        c, kk = ray_dir.shape[:2]
+        t, _, _, hit = trace.closest_hit(
+            g,
+            jnp.broadcast_to(loc[:, None, :], (c, kk, 3)).reshape(-1, 3),
+            ray_dir.reshape(-1, 3),
+        )
+        t = t.reshape(c, kk)
+        hit = hit.reshape(c, kk)
+        visible = cand_ok & hit & (t >= ray_len * (1.0 - 1e-3))
+
+        pdir = photons.direction[top_idx]
+        fac = jnp.maximum(0.0, jnp.sum(nrm[:, None, :] * (-pdir), axis=-1))
+        flux = jnp.sum(
+            (visible * fac)[..., None] * photons.color[top_idx], axis=1
+        )
+        return flux, jnp.sum(visible, axis=-1)
+
+    flux, count = jax.lax.map(one_chunk, (loc_c, nrm_c, rad_c, val_c))
+    flux = flux.reshape(-1, 3)[:r_total]
+    count = count.reshape(-1)[:r_total]
+    return flux, count
+
+
 def surface_gather(
     scene: Scene,
     photons: Photons,
@@ -476,7 +557,11 @@ def surface_gather(
 
     For each hit point, the K nearest in-radius photons are visibility-tested
     with a ray toward each photon's previous location; the photon counts iff
-    the closest geometry hit lies beyond that location (`:151`).  K bounds the
+    the closest geometry hit lies at-or-beyond that location (`:151` uses a
+    strict `rec.t > len` compare, which is a razor-edge float comparison on
+    the unoccluded case t == len — this implementation adds a relative
+    tolerance so the verdict is fp-order-stable; the reference's own
+    commented-out variant at `:148-150` shows the same intent).  K bounds the
     per-pixel work to keep the op static-shape; in-radius photons beyond the
     K nearest are dropped (the reference is unbounded here).
     """
@@ -506,7 +591,7 @@ def surface_gather(
     )
     t = t.reshape(r, kk)
     hit = hit.reshape(r, kk)
-    visible = cand_ok & hit & (t > ray_len)
+    visible = cand_ok & hit & (t >= ray_len * (1.0 - 1e-3))
 
     pdir = photons.direction[top_idx]  # (R, K, 3)
     fac = jnp.maximum(
@@ -893,7 +978,13 @@ def render_sppm(
             f"{output_prefix}_hit_point.ppm",
         )
 
-    gather_jit = jax.jit(functools.partial(surface_gather, k_nearest=16))
+    # dense all-pairs for tiny workloads; hash grid once pixels*photons is
+    # big enough that the O(R*P) distance matrix dominates (BASELINE.json:
+    # hash-grid radiance estimation)
+    if r * n_phot > (1 << 24):
+        gather_jit = jax.jit(functools.partial(surface_gather_grid, k_nearest=16))
+    else:
+        gather_jit = jax.jit(functools.partial(surface_gather, k_nearest=16))
 
     @jax.jit
     def update(hp: HitPoints, flux, iteration):
