@@ -892,7 +892,12 @@ def eye_pass(
 # ---------------------------------------------------------------------------
 
 def render_sppm(
-    scene: Scene, camera, cfg, key, output_prefix: str | None = None
+    scene: Scene, camera, cfg, key, output_prefix: str | None = None,
+    photon_pass_fn=None,
+    n_photons_override: int | None = None,
+    pixel_sharding=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
 ) -> "np.ndarray":
     """Full SPPM render (main.cu:1213-1869 SPPM branch).  Returns (H, W, 3)
     combined (direct + indirect) linear radiance.
@@ -901,7 +906,17 @@ def render_sppm(
     a hit-point splat after the init pass (main.cu:1256-1270 `_hit_point.ppm`)
     and, every `cfg.ppm_image_output_iteration` passes, direct / indirect /
     combined images plus surface- and volume-photon splats
-    (main.cu:1830-1867, :1310-1382)."""
+    (main.cu:1830-1867, :1310-1382).
+
+    Scale-out hooks (parallel/sppm_shard.py): `photon_pass_fn` swaps in the
+    mesh-sharded photon tracer, `pixel_sharding` (a NamedSharding) shards the
+    per-pixel arrays so the eye pass + gathers partition over chips.
+
+    Durability (SURVEY.md §5: the reference has NO checkpointing — SPPM
+    state lives only in device memory): with `checkpoint_dir`, the per-pixel
+    accumulation state (flux, radii, pass index) is orbax-saved every
+    `checkpoint_every` passes and the render resumes from the latest
+    checkpoint after a restart."""
     import numpy as np
 
     w, h = cfg.image_width, cfg.image_height
@@ -912,10 +927,15 @@ def render_sppm(
     )
     pix_i = ii.reshape(-1)
     pix_j = jj.reshape(-1)
+    if pixel_sharding is not None:
+        pix_i = jax.device_put(pix_i, pixel_sharding)
+        pix_j = jax.device_put(pix_j, pixel_sharding)
 
     max_bounce = cfg.ppm_max_bounce
-    n_phot = cfg.ppm_num_photon_per_pass
+    n_phot = int(n_photons_override or cfg.ppm_num_photon_per_pass)
     alpha = cfg.ppm_alpha
+    if photon_pass_fn is None:
+        photon_pass_fn = photon_pass
 
     eye_jit = jax.jit(
         functools.partial(
@@ -924,48 +944,75 @@ def render_sppm(
         static_argnames=("init",),
     )
 
+    # ---- checkpoint/resume (orbax; SURVEY.md §5) ---------------------------
+    import dataclasses
+
+    mngr = None
+    start_pass = 0
+    resumed_hp = None
+    if checkpoint_dir is not None:
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(
+            checkpoint_dir, options=ocp.CheckpointManagerOptions(max_to_keep=2)
+        )
+        latest = mngr.latest_step()
+        if latest is not None:
+            restored = mngr.restore(latest)
+            resumed_hp = HitPoints(
+                **{k: jnp.asarray(v) for k, v in restored["hit_points"].items()}
+            )
+            start_pass = int(latest) + 1
+
     # ---- init pass: main + 4 corner traces -> initial radius --------------
     key_init = jax.random.fold_in(key, 0)
     vol_r = jnp.full((r,), jnp.inf)
-    loc, nrm, filt, direct, _, valid = eye_jit(
-        scene, camera, jax.random.fold_in(key_init, 0),
-        pix_i + 0.5, pix_j + 0.5, None, vol_r, init=True,
-    )
-    corner_locs = []
-    offsets = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
-    for c, (oi, oj) in enumerate(offsets):
-        cl, _, _, _, _, cv = eye_jit(
-            scene, camera, jax.random.fold_in(key_init, 1 + c),
-            pix_i + oi, pix_j + oj, None, vol_r, init=True,
+    if resumed_hp is not None:
+        loc = nrm = filt = direct = valid = None  # init pass skipped on resume
+    else:
+        loc, nrm, filt, direct, _, valid = eye_jit(
+            scene, camera, jax.random.fold_in(key_init, 0),
+            pix_i + 0.5, pix_j + 0.5, None, vol_r, init=True,
         )
-        corner_locs.append(jnp.where(cv[..., None], cl, jnp.inf))
+    if resumed_hp is not None:
+        hp = resumed_hp
+    else:
+        corner_locs = []
+        offsets = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
+        for c, (oi, oj) in enumerate(offsets):
+            cl, _, _, _, _, cv = eye_jit(
+                scene, camera, jax.random.fold_in(key_init, 1 + c),
+                pix_i + oi, pix_j + oj, None, vol_r, init=True,
+            )
+            corner_locs.append(jnp.where(cv[..., None], cl, jnp.inf))
 
-    radius = jnp.full((r,), jnp.inf)
-    pts = [jnp.where(valid[..., None], loc, jnp.inf)] + corner_locs
-    for a in range(len(pts)):
-        for b in range(a + 1, len(pts)):
-            dist = linalg.length(pts[a] - pts[b])
-            ok = jnp.isfinite(dist) & (dist > 0)
-            radius = jnp.where(ok & (dist < radius), dist, radius)
-    radius = radius * cfg.ppm_radius_scaling_factor
-    # invalid pixels get the average valid radius (ray_tracing_pass.h:394-450)
-    finite = jnp.isfinite(radius)
-    avg = jnp.sum(jnp.where(finite, radius, 0.0)) / jnp.maximum(
-        jnp.sum(finite), 1
-    )
-    radius = jnp.where(finite, radius, avg)
+        radius = jnp.full((r,), jnp.inf)
+        pts = [jnp.where(valid[..., None], loc, jnp.inf)] + corner_locs
+        for a in range(len(pts)):
+            for b in range(a + 1, len(pts)):
+                dist = linalg.length(pts[a] - pts[b])
+                ok = jnp.isfinite(dist) & (dist > 0)
+                radius = jnp.where(ok & (dist < radius), dist, radius)
+        radius = radius * cfg.ppm_radius_scaling_factor
+        # invalid pixels get the average valid radius
+        # (ray_tracing_pass.h:394-450)
+        finite = jnp.isfinite(radius)
+        avg = jnp.sum(jnp.where(finite, radius, 0.0)) / jnp.maximum(
+            jnp.sum(finite), 1
+        )
+        radius = jnp.where(finite, radius, avg)
 
-    hp = HitPoints(
-        loc=loc,
-        normal=nrm,
-        filter=filt,
-        direct=direct,
-        indirect=jnp.zeros((r, 3)),
-        tmp_lm=jnp.zeros((r, 3)),
-        surface_radius=radius,
-        volume_radius=2.0 * radius,
-        valid=valid,
-    )
+        hp = HitPoints(
+            loc=loc,
+            normal=nrm,
+            filter=filt,
+            direct=direct,
+            indirect=jnp.zeros((r, 3)),
+            tmp_lm=jnp.zeros((r, 3)),
+            surface_radius=radius,
+            volume_radius=2.0 * radius,
+            valid=valid,
+        )
 
     if output_prefix is not None:
         from gpu_pathtracer_tpu.render.splat import splat_points
@@ -1014,12 +1061,20 @@ def render_sppm(
             tmp_lm=jnp.zeros_like(hp.tmp_lm),
         )
 
-    import dataclasses
+    def _save_checkpoint(it, hp):
+        if mngr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        tree = {"hit_points": {
+            f.name: getattr(hp, f.name) for f in dataclasses.fields(hp)
+        }}
+        mngr.save(it, args=ocp.args.StandardSave(tree))
 
     num_pass = cfg.ppm_num_pass
-    for it in range(num_pass):
+    for it in range(start_pass, num_pass):
         pkey = jax.random.fold_in(key, 1000 + it)
-        photons = photon_pass(
+        photons = photon_pass_fn(
             scene, pkey, n_photons=n_phot, max_bounce=max_bounce,
             stack_size=cfg.max_stack,
         )
@@ -1044,6 +1099,8 @@ def render_sppm(
             scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid
         )
         hp = update(hp, flux, jnp.float32(it + 1))
+        if (it + 1) % max(checkpoint_every, 1) == 0 or it + 1 == num_pass:
+            _save_checkpoint(it, hp)
 
         every = max(int(cfg.ppm_image_output_iteration), 1)
         if output_prefix is not None and (
@@ -1079,5 +1136,7 @@ def render_sppm(
                 f"{output_prefix}_volume_photon.ppm",
             )
 
+    if mngr is not None:
+        mngr.wait_until_finished()
     img = (hp.direct + hp.indirect) / num_pass
     return np.asarray(linalg.de_nan(img).reshape(h, w, 3))
