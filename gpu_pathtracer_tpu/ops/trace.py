@@ -169,6 +169,39 @@ def occluded_dense(
 
 # triangle cap for the VMEM-resident Pallas kernel (64 B/tri of VMEM)
 PALLAS_MAX = int(os.environ.get("GPT_TPU_PALLAS_MAX", "131072"))
+# sort rays for traversal coherence above this batch size (0 disables)
+RAY_SORT_MIN = int(os.environ.get("GPT_TPU_RAY_SORT_MIN", "8192"))
+
+
+def _coherence_perm(g, origin, direction):
+    """Permutation putting rays in (direction-octant, origin-Morton) order.
+
+    After the first bounce, wavefront rays are spatially incoherent, so the
+    Pallas kernel's per-block tile cull almost never fires (a 256-ray block
+    collectively touches every tile).  Sorting by a 3-bit direction octant +
+     18-bit origin Morton key groups rays that walk the same part of the
+    scene into the same block — the TPU analog of the GPU ray-sorting /
+    compaction stage in wavefront path tracers.  Cost: one 32-bit sort of R
+    keys vs. the O(R x T_tile) pair tests it lets the kernel skip.
+    """
+    from gpu_pathtracer_tpu.ops import morton
+
+    lo = jnp.min(g.tile_aabb[:, 0:3], axis=0)
+    hi = jnp.max(g.tile_aabb[:, 3:6], axis=0)
+    span = jnp.maximum(hi - lo, 1e-12)
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.uint32) * 4
+        + (direction[:, 1] > 0).astype(jnp.uint32) * 2
+        + (direction[:, 2] > 0).astype(jnp.uint32)
+    )
+    q = jnp.clip((origin - lo) / span * 64.0, 0.0, 63.0).astype(jnp.uint32)
+    m = (
+        morton.expand_bits(q[:, 0]) * 4
+        + morton.expand_bits(q[:, 1]) * 2
+        + morton.expand_bits(q[:, 2])
+    )
+    key = ((octant << 18) | m).astype(jnp.int32)
+    return jnp.argsort(key)
 
 
 def _use_dense(g) -> bool:
@@ -185,14 +218,46 @@ def _use_pallas(g) -> bool:
     )
 
 
+def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
+    """Pallas closest hit with coherence-sorted rays (see _coherence_perm).
+
+    Batches below RAY_SORT_MIN (or single-tile scenes) skip the sort — the
+    cull can't win anything there.  Returns (t, slot, hit) in the CALLER's
+    ray order.
+    """
+    from gpu_pathtracer_tpu.ops import pallas_trace
+
+    r = origin.shape[0]
+    sort = (
+        RAY_SORT_MIN > 0
+        and r >= RAY_SORT_MIN
+        and g.tri_cols.shape[0] > 1  # single-tile scenes: nothing to cull
+    )
+    if not sort:
+        return pallas_trace.closest_hit_pallas(
+            g.tri_cols, g.tile_aabb, origin, direction, t_max
+        )
+    perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction))
+    o_s = jnp.take(origin, perm, axis=0)
+    d_s = jnp.take(direction, perm, axis=0)
+    tm_s = t_max
+    if isinstance(t_max, jnp.ndarray) and t_max.ndim > 0:
+        tm_s = jnp.take(t_max, perm, axis=0)
+    t, slot, hit = pallas_trace.closest_hit_pallas(
+        g.tri_cols, g.tile_aabb, o_s, d_s, tm_s
+    )
+    inv = jnp.argsort(perm)
+    return (
+        jnp.take(t, inv, axis=0),
+        jnp.take(slot, inv, axis=0),
+        jnp.take(hit, inv, axis=0),
+    )
+
+
 def closest_hit(g, origin, direction, t_max=jnp.inf):
     """Closest hit against a GeometrySet (strategy picked by scene size)."""
     if _use_pallas(g):
-        from gpu_pathtracer_tpu.ops import pallas_trace
-
-        t, slot, hit = pallas_trace.closest_hit_pallas(
-            g.tri_cols, g.tile_aabb, origin, direction, t_max
-        )
+        t, slot, hit = closest_hit_pallas_sorted(g, origin, direction, t_max)
         bary = winner_bary(g.p, g.tol, origin, direction, slot, hit)
         return t, slot, bary, hit
     if _use_dense(g):
