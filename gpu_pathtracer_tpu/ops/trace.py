@@ -240,9 +240,11 @@ def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
     perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction))
     o_s = jnp.take(origin, perm, axis=0)
     d_s = jnp.take(direction, perm, axis=0)
-    tm_s = t_max
-    if isinstance(t_max, jnp.ndarray) and t_max.ndim > 0:
-        tm_s = jnp.take(t_max, perm, axis=0)
+    # normalize BEFORE the per-ray check: a numpy array / Python list t_max
+    # would otherwise skip the permutation and clip each ray with another
+    # ray's budget
+    t_max = jnp.asarray(t_max, jnp.float32)
+    tm_s = jnp.take(t_max, perm, axis=0) if t_max.ndim > 0 else t_max
     t, slot, hit = pallas_trace.closest_hit_pallas(
         g.tri_cols, g.tile_aabb, o_s, d_s, tm_s
     )

@@ -12,10 +12,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from gpu_pathtracer_tpu.parallel._shardmap import shard_map
 
 from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE
 from gpu_pathtracer_tpu.ops import linalg
@@ -153,7 +150,7 @@ def render_image_shard_map(
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
         out_specs=P(AXIS),
-        check_vma=False,
+        check=False,
     )(pix_i_s, pix_j_s)
 
     # undo the interleave, drop padding

@@ -29,10 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from gpu_pathtracer_tpu.parallel._shardmap import shard_map
 
 from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE
 from gpu_pathtracer_tpu.parallel.shard import AXIS, make_mesh
@@ -66,7 +63,15 @@ def photon_pass_distributed(
 
     def shard_fn(scene, key):
         shard_id = jax.lax.axis_index(AXIS)
-        local_key = jax.random.fold_in(key, shard_id)
+        # decorrelate the shard fold from render_sppm's key namespace: a bare
+        # fold_in(key, shard_id) makes shard 1's photon stream bit-identical
+        # to the eye pass's fold_in(key, 1) stream, statistically correlating
+        # photon map and hit points.  The large constant keeps every shard
+        # fold outside the small integers render_sppm/eye_pass/photon_pass
+        # fold from the same parent keys.
+        local_key = jax.random.fold_in(
+            jax.random.fold_in(key, 0x5BBD << 12), shard_id
+        )
         photons = sppm_mod.photon_pass(
             scene, local_key, n_photons=local,
             max_bounce=max_bounce, stack_size=stack_size,
@@ -86,7 +91,7 @@ def photon_pass_distributed(
             pos=P(), color=P(), direction=P(), prev=P(),
             on_surface=P(), valid=P(),
         ),
-        check_vma=False,
+        check=False,
     )(scene, key)
 
 

@@ -771,7 +771,6 @@ def eye_pass(
     state = dict(
         o=o, d=d,
         filt=jnp.ones((r, 3)), filt_lag=jnp.ones((r, 3)),
-        pdf=jnp.ones((r,)), pdf_lag=jnp.ones((r,)),
         stack_ids=stack_ids, stack_len=stack_len,
         in_medium=in_medium0, medium=medium0,
         prev_in_medium=in_medium0, prev_medium=medium0,
@@ -830,8 +829,6 @@ def eye_pass(
         nf = live & ~ref.false_hit
         filt_lag = jnp.where(nf[..., None], filt, st["filt_lag"])
         filt = jnp.where(nf[..., None], filt * ref.filter_2, filt)
-        pdf_lag = jnp.where(nf, st["pdf"], st["pdf_lag"])
-        pdf = jnp.where(nf, st["pdf"] * ref.pdf, st["pdf"])
 
         # first diffuse hit -> record and stop (ray_tracing_pass.h:299-379)
         found_now = live & ref.diffuse & ~st["found"]
@@ -842,7 +839,7 @@ def eye_pass(
         return dict(
             o=jnp.where(live[..., None], pt, st["o"]),
             d=jnp.where(live[..., None], ref.dir, st["d"]),
-            filt=filt, filt_lag=filt_lag, pdf=pdf, pdf_lag=pdf_lag,
+            filt=filt, filt_lag=filt_lag,
             stack_ids=stack_ids2, stack_len=stack_len2,
             in_medium=in_m, medium=med,
             prev_in_medium=jnp.where(upd, in_m, st["prev_in_medium"]),
@@ -920,14 +917,24 @@ def render_sppm(
     import numpy as np
 
     w, h = cfg.image_width, cfg.image_height
-    r = w * h
+    n_pix = w * h
     ii, jj = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
     pix_i = ii.reshape(-1)
     pix_j = jj.reshape(-1)
+    r = n_pix
     if pixel_sharding is not None:
+        # pad the flattened pixel batch to a mesh-size multiple so odd
+        # resolutions shard evenly; the tail rays trace pixel (0, 0) and are
+        # sliced off before the final reshape
+        n_dev = pixel_sharding.mesh.size
+        pad = (-n_pix) % n_dev
+        if pad:
+            pix_i = jnp.concatenate([pix_i, jnp.zeros((pad,), pix_i.dtype)])
+            pix_j = jnp.concatenate([pix_j, jnp.zeros((pad,), pix_j.dtype)])
+            r = n_pix + pad
         pix_i = jax.device_put(pix_i, pixel_sharding)
         pix_j = jax.device_put(pix_j, pixel_sharding)
 
@@ -947,10 +954,28 @@ def render_sppm(
     # ---- checkpoint/resume (orbax; SURVEY.md §5) ---------------------------
     import dataclasses
 
+    # run fingerprint saved with every checkpoint: restoring a checkpoint
+    # from a different scene/key/config silently blends foreign state into
+    # this run, so mismatches refuse loudly instead
+    try:
+        key_fp = jnp.asarray(jax.random.key_data(key), jnp.uint32).reshape(-1)
+    except TypeError:  # raw uint32 key array
+        key_fp = jnp.asarray(key, jnp.uint32).reshape(-1)
+    run_meta = {
+        "key_fp": key_fp,
+        "num_pixels": jnp.int32(n_pix),
+        "n_phot": jnp.int32(n_phot),
+        "max_bounce": jnp.int32(max_bounce),
+        "alpha": jnp.float32(alpha),
+        # ppm_num_pass deliberately excluded: resuming with a larger pass
+        # target is the legitimate "extend the run" workflow
+    }
+
     mngr = None
     start_pass = 0
     resumed_hp = None
     if checkpoint_dir is not None:
+        import numpy as _np
         import orbax.checkpoint as ocp
 
         mngr = ocp.CheckpointManager(
@@ -959,6 +984,23 @@ def render_sppm(
         latest = mngr.latest_step()
         if latest is not None:
             restored = mngr.restore(latest)
+            saved_meta = restored.get("meta")
+            if saved_meta is None:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} has no run metadata; "
+                    "refusing to resume (pre-metadata checkpoint or foreign "
+                    "artifact — delete the directory to start fresh)"
+                )
+            for k, want in run_meta.items():
+                got = saved_meta.get(k)
+                if got is None or not _np.array_equal(
+                    _np.asarray(got), _np.asarray(want)
+                ):
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir} was written by a "
+                        f"different run (field {k!r}: saved={got} != "
+                        f"current={want}); refusing to resume"
+                    )
             resumed_hp = HitPoints(
                 **{k: jnp.asarray(v) for k, v in restored["hit_points"].items()}
             )
@@ -1066,9 +1108,12 @@ def render_sppm(
             return
         import orbax.checkpoint as ocp
 
-        tree = {"hit_points": {
-            f.name: getattr(hp, f.name) for f in dataclasses.fields(hp)
-        }}
+        tree = {
+            "hit_points": {
+                f.name: getattr(hp, f.name) for f in dataclasses.fields(hp)
+            },
+            "meta": run_meta,
+        }
         mngr.save(it, args=ocp.args.StandardSave(tree))
 
     num_pass = cfg.ppm_num_pass
@@ -1139,4 +1184,4 @@ def render_sppm(
     if mngr is not None:
         mngr.wait_until_finished()
     img = (hp.direct + hp.indirect) / num_pass
-    return np.asarray(linalg.de_nan(img).reshape(h, w, 3))
+    return np.asarray(linalg.de_nan(img)[:n_pix].reshape(h, w, 3))

@@ -64,11 +64,12 @@ def test_photon_pass_distributed_mesh_size_invariant(tmp_path):
     dist = photon_pass_distributed(
         scene, key, n_photons=n, mesh=mesh2, max_bounce=4
     )
+    shard_base = jax.random.fold_in(key, 0x5BBD << 12)
     local0 = sppm.photon_pass(
-        scene, jax.random.fold_in(key, 0), n_photons=n // 2, max_bounce=4
+        scene, jax.random.fold_in(shard_base, 0), n_photons=n // 2, max_bounce=4
     )
     local1 = sppm.photon_pass(
-        scene, jax.random.fold_in(key, 1), n_photons=n // 2, max_bounce=4
+        scene, jax.random.fold_in(shard_base, 1), n_photons=n // 2, max_bounce=4
     )
     ref_pos = np.concatenate([np.asarray(local0.pos), np.asarray(local1.pos)])
     ref_valid = np.concatenate(
@@ -94,6 +95,50 @@ def test_render_sppm_distributed_smoke(tmp_path):
     assert img.shape == (8, 8, 3)
     assert np.isfinite(img).all() and (img >= 0).all()
     assert img.mean() > 1e-4, f"distributed SPPM image black: {img.mean()}"
+
+
+def test_shard_photon_keys_decorrelated():
+    """Shard-local photon keys must not collide with any key render_sppm /
+    photon_pass / eye_pass derive from the same per-pass key (round-2
+    advisor finding: shard 1's photon stream was bit-identical to the eye
+    pass's fold_in(pkey, 1) stream, correlating map and hit points)."""
+    pkey = jax.random.fold_in(jax.random.key(3), 1000)
+    shard_keys = {
+        bytes(np.asarray(jax.random.key_data(
+            jax.random.fold_in(jax.random.fold_in(pkey, 0x5BBD << 12), s)
+        )))
+        for s in range(16)
+    }
+    render_keys = {
+        bytes(np.asarray(jax.random.key_data(jax.random.fold_in(pkey, t))))
+        for t in range(4096)
+    }
+    assert shard_keys.isdisjoint(render_keys)
+
+
+def test_sppm_checkpoint_refuses_foreign_run(tmp_path):
+    """A checkpoint written by a different run (here: different key) must
+    not be silently blended into this one."""
+    import pytest
+
+    scene = _box(tmp_path)
+    cam = _cam(8)
+    base = dict(
+        image_width=8, image_height=8,
+        ppm_num_photon_per_pass=256,
+        ppm_max_bounce=4, ppm_alpha=0.7, ppm_radius_scaling_factor=1.0,
+    )
+    cfg = RenderConfig(ppm_num_pass=1, **base)
+    ckpt = str(tmp_path / "ckpt_foreign")
+    sppm.render_sppm(
+        scene, cam, cfg, jax.random.key(5),
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    with pytest.raises(ValueError, match="different run"):
+        sppm.render_sppm(
+            scene, cam, cfg, jax.random.key(6),
+            checkpoint_dir=ckpt, checkpoint_every=1,
+        )
 
 
 def test_sppm_checkpoint_resume(tmp_path):
