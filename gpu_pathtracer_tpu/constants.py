@@ -26,6 +26,14 @@ VACUUM_IOR = 1.0
 # state cheap.  Configurable per-render.
 MATERIAL_STACK_SIZE = 8
 
-# Default max lights collected when evaluating the many-light MIS pdf
-# (reference caps at 400, material_operations.h:36).
+# Max lights collected per ray when evaluating the many-light MIS pdf on the
+# sparse (light-tree walk) path (reference caps at 400,
+# material_operations.h:36; 32 suffices because geom_pdf is zero for every
+# emitter the ray misses and a ray rarely stabs >32 emitter AABBs).
 MAX_POTENTIAL_TARGETS = 32
+
+# Emitter-count threshold between the dense many-lights path (one (R, E)
+# importance table + (2E-1, E) ancestor matmul — fastest on TPU while E is
+# small) and the sparse path (stochastic tree descent + bounded pdf walks —
+# O(R * log E) memory, required once E reaches thousands).
+LIGHT_TREE_DENSE_MAX = 512

@@ -25,13 +25,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gpu_pathtracer_tpu.constants import SMALL_EPS
+from gpu_pathtracer_tpu.constants import (
+    LIGHT_TREE_DENSE_MAX,
+    MAX_POTENTIAL_TARGETS,
+    SMALL_EPS,
+)
 from gpu_pathtracer_tpu.ops import bvh as bvh_mod
 from gpu_pathtracer_tpu.ops import intersect, linalg
 from gpu_pathtracer_tpu.pytree import pytree_dataclass
 
 
-@pytree_dataclass(meta=("num_lights", "depth"))
+@pytree_dataclass(meta=("num_lights", "depth", "dense"))
 class LightTree:
     tree: bvh_mod.BVH  # leaf_size=1 radix tree over emitters
     node_energy: jnp.ndarray  # (2E-1, 3) energy sums (leaves = emitter energy)
@@ -44,7 +48,10 @@ class LightTree:
     centroid: jnp.ndarray  # (E, 3)
     tol: jnp.ndarray  # (E,) watertight-hit tolerance
     geom_slot: jnp.ndarray  # (E,) int32 row in the SORTED scene arrays
-    # dense-topology tables (built once, host side) for the matmul-form pdf:
+    # dense-topology tables (built once, host side) for the matmul-form pdf;
+    # only materialized while E <= LIGHT_TREE_DENSE_MAX (`dense` flag) — the
+    # (2E-1, E) ancestor matrix is O(E^2) memory and the sparse walk path
+    # never touches it
     sib: jnp.ndarray  # (2E-1,) int32 sibling node id (root -> itself)
     anc: jnp.ndarray  # (2E-1, E) f32 1.0 where node lies on root->leaf path
     node_centroid: jnp.ndarray  # (2E-1, 3) leaf centroid (zeros on internals)
@@ -52,6 +59,7 @@ class LightTree:
     node_is_leaf: jnp.ndarray  # (2E-1,) bool
     num_lights: int = 0
     depth: int = 1  # max leaf->root path length (static, for fori_loop pdfs)
+    dense: bool = True  # dense tables present; False = sparse-walk regime
 
 
 def build_light_tree(
@@ -60,8 +68,14 @@ def build_light_tree(
     tri_uv: jnp.ndarray,  # (E, 3, 2)
     energy: jnp.ndarray,  # (E, 3) per-emitter 2*pi*avgKe*area
     geom_slot: jnp.ndarray,  # (E,) row of each emitter in the sorted scene SoA
+    dense_tables: bool | None = None,
 ) -> LightTree:
-    """Build the light tree (the reference's target LBVH + energy fit)."""
+    """Build the light tree (the reference's target LBVH + energy fit).
+
+    `dense_tables` (default: E <= LIGHT_TREE_DENSE_MAX) controls whether the
+    O(E^2) ancestor matrix for the matmul-form pdf is materialized; above the
+    threshold the integrators use the sparse descent/walk path instead
+    (reference behavior, bvh_traversal_target.h:79-112)."""
     e = tri_p.shape[0]
     pmin = jnp.min(tri_p, axis=1)
     pmax = jnp.max(tri_p, axis=1)
@@ -94,10 +108,13 @@ def build_light_tree(
             lambda c: c[1], body, (node_energy, jnp.bool_(True))
         )
 
-    # host-side topology tables: depth, sibling map, and the root->leaf
-    # ancestor incidence matrix that turns the per-leaf pdf walk
-    # (get_node_pdf, bvh_traversal_target.h:48-77) into one matmul
+    # host-side topology tables: depth, sibling map, and (dense regime only)
+    # the root->leaf ancestor incidence matrix that turns the per-leaf pdf
+    # walk (get_node_pdf, bvh_traversal_target.h:48-77) into one matmul
     import numpy as np
+
+    if dense_tables is None:
+        dense_tables = e <= LIGHT_TREE_DENSE_MAX
 
     total = 2 * e - 1
     leaf_base = e - 1
@@ -112,11 +129,16 @@ def build_light_tree(
         sib_np[lchild] = rchild
         sib_np[rchild] = lchild
 
-        anc_np = np.zeros((total, e), np.float32)
+        anc_np = (
+            np.zeros((total, e), np.float32)
+            if dense_tables
+            else np.zeros((1, 1), np.float32)
+        )
         cur = np.arange(e, dtype=np.int64) + leaf_base
         depth = 0
         while True:
-            anc_np[cur, np.arange(e)] = 1.0
+            if dense_tables:
+                anc_np[cur, np.arange(e)] = 1.0
             depth += 1
             done = cur == 0
             if done.all() or depth > 2 * e + 2:
@@ -126,6 +148,7 @@ def build_light_tree(
         sib_np = np.zeros((1,), np.int64)
         anc_np = np.ones((1, 1), np.float32)
         depth = 1
+        dense_tables = True
 
     avg_normal = linalg.normalize(jnp.mean(tri_n, axis=1), SMALL_EPS)
     centroid = jnp.mean(tri_p, axis=1)
@@ -151,6 +174,7 @@ def build_light_tree(
         node_is_leaf=node_is_leaf,
         num_lights=e,
         depth=depth,
+        dense=bool(dense_tables),
     )
 
 
@@ -322,22 +346,25 @@ def leaf_node_pdfs(
     return jnp.exp(log_pdf)
 
 
-def leaf_node_pdfs_walk(
-    lt: LightTree, point: jnp.ndarray, pivot: jnp.ndarray
+def node_pdf_walk(
+    lt: LightTree,
+    leaf: jnp.ndarray,  # (..., K) int32 leaf indices (tree order)
+    point: jnp.ndarray,  # (..., 3)
+    pivot: jnp.ndarray,  # (..., 3)
 ) -> jnp.ndarray:
-    """Reference formulation: bounded leaf->root walk multiplying branch
-    ratios (kept as the cross-check oracle for `leaf_node_pdfs`)."""
+    """Selection pdf of the given leaves by the reference's bounded
+    leaf->root walk multiplying branch ratios (get_node_pdf,
+    bvh_traversal_target.h:48-77).  O(K * depth) per ray — the scalable
+    form for the sparse many-lights regime (no (R, E) table).
+
+    The walk is a `fori_loop` over the STATIC tree depth so it is
+    reverse-differentiable w.r.t. emitter energies."""
     e = lt.num_lights
     if e == 1:
-        return jnp.ones(point.shape[:-1] + (1,))
-    leaf_base = e - 1
-
-    leaf_nodes = jnp.arange(e, dtype=jnp.int32) + leaf_base  # (E,)
-    pt = point[..., None, :]  # (R, 1, 3)
+        return jnp.ones(leaf.shape)
+    pt = point[..., None, :]  # (..., 1, 3)
     pv = pivot[..., None, :]
 
-    # bounded walk (lt.depth is static) so the pdf is reverse-differentiable
-    # w.r.t. emitter energies — lax.while_loop would block backprop
     def body(_, state):
         cur, pdf = state
         live = cur > 0
@@ -355,15 +382,120 @@ def leaf_node_pdfs_walk(
         return jnp.where(live, par, cur), pdf
 
     _, pdf = jax.lax.fori_loop(
-        0,
-        lt.depth,
-        body,
-        (
-            jnp.broadcast_to(leaf_nodes, point.shape[:-1] + (e,)),
-            jnp.ones(point.shape[:-1] + (e,)),
-        ),
+        0, lt.depth, body,
+        (leaf + jnp.int32(e - 1), jnp.ones(leaf.shape)),
     )
     return pdf
+
+
+def leaf_node_pdfs_walk(
+    lt: LightTree, point: jnp.ndarray, pivot: jnp.ndarray
+) -> jnp.ndarray:
+    """Walk-form pdfs for ALL leaves (cross-check oracle for the matmul-form
+    `leaf_node_pdfs`; O(E * depth) per ray — dense-regime sizes only)."""
+    e = lt.num_lights
+    leaves = jnp.broadcast_to(
+        jnp.arange(e, dtype=jnp.int32), point.shape[:-1] + (e,)
+    )
+    return node_pdf_walk(lt, leaves, point, pivot)
+
+
+def collect_hit_leaves(
+    lt: LightTree,
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3) unit
+    max_k: int = MAX_POTENTIAL_TARGETS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Collect up to `max_k` emitter leaves whose AABB the ray stabs, by a
+    threaded (stackless) walk of the light BVH (traverse_bvh_target,
+    bvh_traversal_target.h:114-184; the reference caps at 400).
+
+    Returns (leaf, ok): (R, K) int32 leaf indices + validity mask.  The
+    collection is a superset of the emitters the ray actually hits, so
+    summing triangle-hit pdfs over it equals the full dense sum whenever
+    fewer than K AABBs are stabbed (overflow drops the excess — exactly the
+    reference's cap behavior)."""
+    e = lt.num_lights
+    r = origin.shape[0]
+    if e == 1:
+        return (
+            jnp.zeros((r, 1), jnp.int32),
+            jnp.ones((r, 1), bool),
+        )
+    leaf_base = e - 1
+    tree = lt.tree
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.where(direction < 0, -1e-20, 1e-20),
+        direction,
+    )
+    k_ar = jnp.arange(max_k, dtype=jnp.int32)
+
+    def cond(state):
+        cur, _, _, steps = state
+        return jnp.any(cur >= 0) & (steps < 4 * e)
+
+    def body(state):
+        cur, buf, cnt, steps = state
+        live = cur >= 0
+        node = jnp.maximum(cur, 0)
+        box_hit = bvh_mod.ray_box_test(
+            origin, inv_d, tree.aabb_min[node], tree.aabb_max[node],
+            jnp.full((r,), jnp.inf),
+        ) & live
+        is_leaf = node >= leaf_base
+        take = box_hit & is_leaf & (cnt < max_k)
+        slot = (k_ar[None, :] == cnt[:, None]) & take[:, None]
+        buf = jnp.where(slot, (node - leaf_base)[:, None], buf)
+        cnt = cnt + take.astype(jnp.int32)
+        nxt = jnp.where(box_hit & ~is_leaf, tree.left[node], tree.escape[node])
+        return jnp.where(live, nxt, cur), buf, cnt, steps + 1
+
+    _, buf, cnt, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((r,), jnp.int32),
+            jnp.zeros((r, max_k), jnp.int32),
+            jnp.zeros((r,), jnp.int32),
+            jnp.int32(0),
+        ),
+    )
+    return buf, k_ar[None, :] < cnt[:, None]
+
+
+def hittable_pdf_sum_sparse(
+    lt: LightTree,
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3) unit
+    pivot: jnp.ndarray,  # (R, 3)
+    max_k: int = MAX_POTENTIAL_TARGETS,
+) -> jnp.ndarray:
+    """`hittable_pdf_sum` without any (R, E) table: AABB-collect candidate
+    leaves via the light BVH, intersect only those K triangles, and compute
+    their selection pdfs with bounded walks (the reference's exact
+    formulation, _recompute_pdf material_operations.h:26-72 over the
+    traverse_bvh_target collection)."""
+    from gpu_pathtracer_tpu.ops import trace as trace_mod
+
+    cand, ok = collect_hit_leaves(lt, origin, direction, max_k)  # (R, K)
+    tri = trace_mod.gather_rows(lt.tri_p, cand)  # (R, K, 3, 3)
+    tol = lt.tol[cand]
+    t, bary, hit = intersect.intersect_tris(
+        origin, direction, tri, tol, jnp.inf
+    )  # (R, K), (R, K, 3)
+    n_hit = linalg.normalize(
+        jnp.sum(bary[..., None] * trace_mod.gather_rows(lt.tri_n, cand), axis=-2),
+        SMALL_EPS,
+    )
+    cos = jnp.abs(linalg.dot(direction[..., None, :], n_hit))
+    geom = jnp.where(
+        hit & ok,
+        (t * t) / jnp.maximum(cos * lt.area[cand], 1e-20),
+        0.0,
+    )
+    node_pdf = node_pdf_walk(lt, cand, origin, pivot)  # (R, K)
+    return jnp.sum(jnp.where(hit & ok, node_pdf * geom, 0.0), axis=-1)
 
 
 def hittable_pdf_sum(

@@ -92,9 +92,18 @@ def _nee_mis(
     u_accept = jax.random.uniform(jax.random.fold_in(key, 0), r_shape)
     take_light = u_accept < w
 
-    # one dense pdf table serves both the pick and the MIS mixture pdf
-    node_pdf = lights_mod.leaf_node_pdfs(lt, ref.origin, pivot)
-    leaf = lights_mod.pick_light_dense(lt, node_pdf, jax.random.fold_in(key, 1))
+    # light pick: dense regime shares one (R, E) pdf table between the pick
+    # and the MIS mixture pdf; sparse regime (E > LIGHT_TREE_DENSE_MAX) uses
+    # the reference's stochastic descent + bounded walks — O(R log E)
+    if lt.dense:
+        node_pdf = lights_mod.leaf_node_pdfs(lt, ref.origin, pivot)
+        leaf = lights_mod.pick_light_dense(
+            lt, node_pdf, jax.random.fold_in(key, 1)
+        )
+    else:
+        leaf = lights_mod.pick_light(
+            lt, ref.origin, pivot, jax.random.fold_in(key, 1)
+        )
     u1 = jax.random.uniform(jax.random.fold_in(key, 2), r_shape)
     u2 = jax.random.uniform(jax.random.fold_in(key, 3), r_shape)
     target = lights_mod.sample_point_on_light(lt, leaf, u1, u2)
@@ -107,9 +116,14 @@ def _nee_mis(
     new_filter = jnp.where(refilter[..., None], filt_l, ref.filter)
 
     # mixture pdf (material_operations.h:26-72)
-    hittable = lights_mod.hittable_pdf_sum(
-        lt, ref.origin, new_dir, pivot, node_pdf=node_pdf
-    )
+    if lt.dense:
+        hittable = lights_mod.hittable_pdf_sum(
+            lt, ref.origin, new_dir, pivot, node_pdf=node_pdf
+        )
+    else:
+        hittable = lights_mod.hittable_pdf_sum_sparse(
+            lt, ref.origin, new_dir, pivot
+        )
     samp_diff = sampling.diffuse_sampling_pdf(normal, new_dir)
     samp_spec = sampling.specular_sampling_pdf(
         coming_dir, new_dir, normal, ref.perfect_dir, ref.n, ref.refracted

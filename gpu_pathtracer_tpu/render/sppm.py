@@ -650,8 +650,13 @@ def _direct_radiance_chain(
     )
     lt = scene.light_tree
     pivot = jnp.where(ref.diffuse[..., None], diff_nrm, ref.perfect_dir)
-    node_pdf = lights_mod.leaf_node_pdfs(lt, diff_pt, pivot)
-    leaf = lights_mod.pick_light_dense(lt, node_pdf, jax.random.fold_in(key, 1))
+    if lt.dense:
+        node_pdf = lights_mod.leaf_node_pdfs(lt, diff_pt, pivot)
+        leaf = lights_mod.pick_light_dense(
+            lt, node_pdf, jax.random.fold_in(key, 1)
+        )
+    else:
+        leaf = lights_mod.pick_light(lt, diff_pt, pivot, jax.random.fold_in(key, 1))
     u1 = jax.random.uniform(jax.random.fold_in(key, 2), (r,))
     u2 = jax.random.uniform(jax.random.fold_in(key, 3), (r,))
     target = lights_mod.sample_point_on_light(lt, leaf, u1, u2)
@@ -660,9 +665,12 @@ def _direct_radiance_chain(
     filt_redir = sampling.phong_filter(ref.k, ref.n, pivot, new_dir)
     ref_filter = jnp.where(refilter[..., None], filt_redir, ref.filter)
 
-    hittable = lights_mod.hittable_pdf_sum(
-        lt, diff_pt, new_dir, pivot, node_pdf=node_pdf
-    )
+    if lt.dense:
+        hittable = lights_mod.hittable_pdf_sum(
+            lt, diff_pt, new_dir, pivot, node_pdf=node_pdf
+        )
+    else:
+        hittable = lights_mod.hittable_pdf_sum_sparse(lt, diff_pt, new_dir, pivot)
     scat = sampling.scattering_pdf(
         diff_nrm, new_dir, ref.diffuse, diff_coming, ref.refracted
     )

@@ -152,6 +152,133 @@ def make_cornell_box(
     return "box.obj", "box.mtl"
 
 
+def make_neon_sign(
+    folder: str | pathlib.Path,
+    segs_per_tube: int = 24,
+    tube_width: float = 0.02,
+    emission: float = 25.0,
+) -> tuple[str, str]:
+    """Neon-sign scene (BASELINE config 5): a Cornell-style box whose ONLY
+    lights are thin emissive tube segments spelling "TPU" on the back wall —
+    many small colored emitters, the many-lights + SPPM + differentiable
+    emitter-optimization workload.
+
+    Emitter triangle count = 2 * 3 * segs_per_tube (two tris per segment).
+    Returns (obj_filename, mtl_filename).
+    """
+    folder = pathlib.Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+
+    e = emission
+    mtl = [
+        "newmtl white", "Kd 0.73 0.73 0.73", "Ks 0 0 0", "d 1.0", "Ns 1",
+        "newmtl neon_r", "Kd 0 0 0", f"Ke {e} {e * 0.12} {e * 0.2}", "d 1.0", "Ns 1",
+        "newmtl neon_g", "Kd 0 0 0", f"Ke {e * 0.15} {e} {e * 0.3}", "d 1.0", "Ns 1",
+        "newmtl neon_b", "Kd 0 0 0", f"Ke {e * 0.2} {e * 0.4} {e}", "d 1.0", "Ns 1",
+    ]
+
+    obj = ["mtllib sign.mtl"]
+    base = 0
+    obj.append("usemtl white")  # floor / ceiling / back / side walls
+    base = _quad(obj, base, (0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 0, 0))
+    base = _quad(obj, base, (0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1))
+    base = _quad(obj, base, (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0))
+    base = _quad(obj, base, (0, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 1))
+    base = _quad(obj, base, (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0))
+
+    # letter strokes as 2-D polylines on the z=0.05 plane
+    letters = {
+        "neon_r": [[(0.08, 0.72), (0.32, 0.72)], [(0.20, 0.72), (0.20, 0.30)]],
+        "neon_g": [[(0.42, 0.30), (0.42, 0.72), (0.58, 0.72), (0.58, 0.52),
+                    (0.42, 0.52)]],
+        "neon_b": [[(0.68, 0.72), (0.68, 0.36), (0.73, 0.30), (0.87, 0.30),
+                    (0.92, 0.36), (0.92, 0.72)]],
+    }
+    z = 0.05
+    hw = tube_width / 2.0
+    for mat, strokes in letters.items():
+        # distribute segs_per_tube segments over the letter's strokes by length
+        pts_all = []
+        for stroke in strokes:
+            lens = [
+                math.dist(stroke[i], stroke[i + 1])
+                for i in range(len(stroke) - 1)
+            ]
+            total = sum(lens)
+            for i, l in enumerate(lens):
+                n = max(1, round(segs_per_tube * l / total))
+                a, b = stroke[i], stroke[i + 1]
+                for k in range(n):
+                    t0, t1 = k / n, (k + 1) / n
+                    pts_all.append((
+                        (a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0),
+                        (a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1),
+                    ))
+        obj.append(f"usemtl {mat}")
+        for (p0, p1) in pts_all:
+            dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+            l = math.hypot(dx, dy) or 1.0
+            px, py = -dy / l * hw, dx / l * hw  # in-plane perpendicular
+            base = _quad(
+                obj, base,
+                (p0[0] - px, p0[1] - py, z), (p1[0] - px, p1[1] - py, z),
+                (p1[0] + px, p1[1] + py, z), (p0[0] + px, p0[1] + py, z),
+            )
+
+    (folder / "sign.mtl").write_text("\n".join(mtl) + "\n")
+    (folder / "sign.obj").write_text("\n".join(obj) + "\n")
+    return "sign.obj", "sign.mtl"
+
+
+def make_emitter_panel(
+    folder: str | pathlib.Path,
+    nx: int = 16,
+    ny: int = 16,
+    emission: float = 15.0,
+) -> tuple[str, str]:
+    """Cornell-style box whose ceiling is a grid of nx*ny SEPARATE emissive
+    quads (2*nx*ny emitter triangles) — the many-lights scalability stress
+    (exercises the sparse light-tree path once 2*nx*ny > LIGHT_TREE_DENSE_MAX).
+    """
+    folder = pathlib.Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+
+    mtl = [
+        "newmtl white", "Kd 0.73 0.73 0.73", "Ks 0 0 0", "d 1.0", "Ns 1",
+        "newmtl led", "Kd 0 0 0", f"Ke {emission} {emission} {emission}",
+        "d 1.0", "Ns 1",
+    ]
+    obj = ["mtllib panel.mtl"]
+    base = 0
+    obj.append("usemtl white")
+    base = _quad(obj, base, (0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 0, 0))
+    base = _quad(obj, base, (0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1))
+    base = _quad(obj, base, (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0))
+    base = _quad(obj, base, (0, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 1))
+    base = _quad(obj, base, (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0))
+
+    obj.append("usemtl led")
+    y = 0.999
+    margin = 0.08
+    cell_x = (1.0 - 2 * margin) / nx
+    cell_z = (1.0 - 2 * margin) / ny
+    shrink = 0.35  # gap between LEDs
+    for i in range(nx):
+        for j in range(ny):
+            x0 = margin + i * cell_x + cell_x * shrink / 2
+            z0 = margin + j * cell_z + cell_z * shrink / 2
+            x1 = x0 + cell_x * (1 - shrink)
+            z1 = z0 + cell_z * (1 - shrink)
+            # winding -> normal -y (down into the box)
+            base = _quad(
+                obj, base, (x0, y, z0), (x1, y, z0), (x1, y, z1), (x0, y, z1)
+            )
+
+    (folder / "panel.mtl").write_text("\n".join(mtl) + "\n")
+    (folder / "panel.obj").write_text("\n".join(obj) + "\n")
+    return "panel.obj", "panel.mtl"
+
+
 def cornell_master_file(
     folder: str | pathlib.Path,
     width: int = 256,

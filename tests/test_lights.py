@@ -43,6 +43,142 @@ def test_pdf_normalized():
     np.testing.assert_allclose(np.asarray(pdf.sum(-1)), 1.0, rtol=1e-4)
 
 
+@pytest.mark.parametrize("e", [2, 16, 33])
+def test_node_pdf_walk_subset_matches_dense(e):
+    """node_pdf_walk on an arbitrary leaf subset == the matching columns of
+    the dense table (the sparse path's pdf oracle)."""
+    key = jax.random.key(100 + e)
+    lt = _random_tree(key, e)
+    r, k = 32, min(5, e)
+    point = jax.random.uniform(jax.random.fold_in(key, 1), (r, 3), minval=-3, maxval=3)
+    pivot = jax.random.normal(jax.random.fold_in(key, 2), (r, 3))
+    pivot = pivot / jnp.linalg.norm(pivot, axis=-1, keepdims=True)
+    leaf = jax.random.randint(jax.random.fold_in(key, 3), (r, k), 0, e)
+
+    dense = lights.leaf_node_pdfs(lt, point, pivot)  # (r, e)
+    got = lights.node_pdf_walk(lt, leaf, point, pivot)  # (r, k)
+    want = np.take_along_axis(np.asarray(dense), np.asarray(leaf), axis=-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-7)
+
+
+def test_collect_hit_leaves_superset():
+    """Every emitter a ray actually hits must be in the collected set."""
+    from gpu_pathtracer_tpu.ops import intersect
+
+    key = jax.random.key(7)
+    e = 64
+    lt = _random_tree(key, e)
+    r = 128
+    origin = jax.random.uniform(jax.random.fold_in(key, 1), (r, 3), minval=-3, maxval=3)
+    direction = jax.random.normal(jax.random.fold_in(key, 2), (r, 3))
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+
+    cand, ok = lights.collect_hit_leaves(lt, origin, direction, max_k=64)
+    cand = np.asarray(cand)
+    ok = np.asarray(ok)
+
+    _, _, hit = intersect.intersect_tris(
+        origin, direction, lt.tri_p[None], lt.tol[None], jnp.inf
+    )  # (r, e)
+    hit = np.asarray(hit)
+    for i in range(r):
+        hit_set = set(np.nonzero(hit[i])[0].tolist())
+        coll = set(cand[i][ok[i]].tolist())
+        assert hit_set <= coll, (i, hit_set - coll)
+
+
+def test_hittable_pdf_sum_sparse_matches_dense():
+    key = jax.random.key(11)
+    e = 48
+    lt = _random_tree(key, e)
+    r = 256
+    origin = jax.random.uniform(jax.random.fold_in(key, 1), (r, 3), minval=-3, maxval=3)
+    direction = jax.random.normal(jax.random.fold_in(key, 2), (r, 3))
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    pivot = jax.random.normal(jax.random.fold_in(key, 3), (r, 3))
+    pivot = pivot / jnp.linalg.norm(pivot, axis=-1, keepdims=True)
+
+    dense = lights.hittable_pdf_sum(lt, origin, direction, pivot)
+    sparse = lights.hittable_pdf_sum_sparse(lt, origin, direction, pivot, max_k=64)
+    np.testing.assert_allclose(
+        np.asarray(sparse), np.asarray(dense), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_sparse_tree_has_no_dense_tables():
+    """Above LIGHT_TREE_DENSE_MAX the O(E^2) ancestor matrix must not be
+    materialized and the tree flags the sparse regime."""
+    from gpu_pathtracer_tpu.constants import LIGHT_TREE_DENSE_MAX
+
+    e = LIGHT_TREE_DENSE_MAX + 8
+    lt = _random_tree(jax.random.key(1), e)
+    assert not lt.dense
+    assert lt.anc.shape == (1, 1)
+    assert lt.num_lights == e
+
+
+def test_pick_light_descent_matches_walk_pdf_histogram():
+    """The stochastic descent (sparse-regime sampler) selects leaf k with
+    probability node_pdf_walk(k) — histogram check."""
+    e = 8
+    lt = _random_tree(jax.random.key(3), e)
+    r = 20000
+    point = jnp.tile(jnp.array([[0.0, 3.0, 0.0]]), (r, 1))
+    pivot = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (r, 1))
+    leaf = lights.pick_light(lt, point, pivot, jax.random.key(4))
+    hist = np.bincount(np.asarray(leaf), minlength=e) / r
+    want = np.asarray(
+        lights.node_pdf_walk(
+            lt, jnp.arange(e, dtype=jnp.int32)[None, :], point[:1], pivot[:1]
+        )
+    )[0]
+    np.testing.assert_allclose(hist, want, atol=0.02)
+
+
+def test_many_lights_render_sparse_vs_dense(tmp_path):
+    """A 2048-emitter panel renders on the sparse path within noise of the
+    dense-path oracle, with no (R, E) or (E, E) allocations on the sparse
+    side (the sparse tree has no ancestor matrix at all)."""
+    import dataclasses
+
+    from gpu_pathtracer_tpu.models.camera import Camera
+    from gpu_pathtracer_tpu.models.scene import build_scene
+    from gpu_pathtracer_tpu.render import render_image
+    from gpu_pathtracer_tpu.utils import testscenes
+    from gpu_pathtracer_tpu.utils.obj_io import load_scene
+
+    folder = tmp_path / "panel"
+    testscenes.make_emitter_panel(folder, nx=32, ny=32)  # 2048 emitter tris
+    host = load_scene(folder, "panel.obj")
+    scene = build_scene(host)
+    assert scene.num_lights == 2048
+    assert not scene.light_tree.dense
+
+    # dense oracle: same tree with the dense tables forced on
+    lt_dense = lights.build_light_tree(
+        scene.light_tree.tri_p,
+        scene.light_tree.tri_n,
+        scene.light_tree.tri_uv,
+        scene.light_tree.node_energy[scene.num_lights - 1 :],
+        scene.light_tree.geom_slot,
+        dense_tables=True,
+    )
+    scene_dense = dataclasses.replace(scene, light_tree=lt_dense)
+
+    cam = Camera.create(
+        eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
+        fovy_deg=40.0, width=16, height=16,
+    )
+    kw = dict(width=16, height=16, sample_size=8, level=3,
+              hittable_pdf_weight=0.5)
+    img_sparse = np.asarray(render_image(scene, cam, jax.random.key(0), **kw))
+    img_dense = np.asarray(render_image(scene_dense, cam, jax.random.key(0), **kw))
+    assert np.isfinite(img_sparse).all() and (img_sparse >= 0).all()
+    # different sampling streams -> compare in the mean (estimator identity)
+    rel = abs(img_sparse.mean() - img_dense.mean()) / img_dense.mean()
+    assert rel < 0.15, (img_sparse.mean(), img_dense.mean())
+
+
 def test_pick_dense_matches_pdf_histogram():
     lt = _random_tree(jax.random.key(3), 8)
     r = 20000
