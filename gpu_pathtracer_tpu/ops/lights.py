@@ -178,6 +178,28 @@ def build_light_tree(
     )
 
 
+def leaf_energies(
+    lt: LightTree,
+    table,
+    mat_id_sorted: jnp.ndarray,  # (T,) scene.geom.mat_id (sorted SoA rows)
+) -> jnp.ndarray:
+    """Per-emitter energy 2*pi*avg(Ke at the 3 vertices)*area
+    (Triangle::get_energy, triangle.h:112-122), recomputed DIFFERENTIABLY
+    from the live material table.
+
+    `build_scene` bakes the same values into `lt.node_energy` leaves at
+    construction; reading them from the table instead lets gradients flow
+    from the photon-emission energy CDF normalization back to
+    `MaterialTable.ke` — the differentiable-SPPM emitter-optimization path
+    (BASELINE config 5)."""
+    e = lt.num_lights
+    mat = mat_id_sorted[lt.geom_slot]  # (E,)
+    ke_verts = table.emission_color(
+        jnp.broadcast_to(mat[:, None], (e, 3)), lt.tri_uv
+    )  # (E, 3, 3)
+    return 2.0 * jnp.pi * jnp.mean(ke_verts, axis=1) * lt.area[:, None]
+
+
 def _node_importance(
     lt: LightTree, node: jnp.ndarray, point: jnp.ndarray, pivot: jnp.ndarray
 ) -> jnp.ndarray:

@@ -58,6 +58,35 @@ def render_loss_fn(
     return loss
 
 
+def sppm_loss_fn(
+    scene,
+    camera,
+    target: jnp.ndarray,  # (H, W, 3) linear radiance
+    n_photons: int = 512,
+    num_pass: int = 2,
+    max_bounce: int = 8,
+    eye_bounce: int = 8,
+    **sppm_kw,
+) -> Callable:
+    """(params, key) -> scalar L2 loss between a DIFFERENTIABLE SPPM render
+    and `target` — the emitter-optimization-through-the-photon-mapper loss
+    (BASELINE config 5; the reference's SPPM, main.cu:1489-1869, is
+    forward-only)."""
+    from gpu_pathtracer_tpu.render.sppm import render_sppm_differentiable
+
+    def loss(params, key):
+        scn = _substitute(scene, params)
+        img = render_sppm_differentiable(
+            scn, camera, key,
+            width=target.shape[1], height=target.shape[0],
+            n_photons=n_photons, num_pass=num_pass,
+            max_bounce=max_bounce, eye_bounce=eye_bounce, **sppm_kw,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    return loss
+
+
 def optimize(
     scene,
     camera,
@@ -68,22 +97,26 @@ def optimize(
     key: jax.Array | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 25,
+    loss_fn: Callable | None = None,
     **render_kw,
 ):
     """Adam-optimize MaterialTable fields to match `target`.
 
     Returns (params, losses).  With `checkpoint_dir`, saves (step, params,
     opt_state) via orbax every `checkpoint_every` steps and resumes from
-    the latest checkpoint if one exists.
+    the latest checkpoint if one exists.  `loss_fn` overrides the default
+    path-tracing L2 loss (e.g. `sppm_loss_fn` for emitter optimization
+    through the photon mapper).
     """
     if key is None:
         key = jax.random.key(0)
     params = {name: getattr(scene.materials, name) for name in param_names}
 
-    loss_fn = render_loss_fn(
-        scene, camera, target,
-        width=target.shape[1], height=target.shape[0], **render_kw,
-    )
+    if loss_fn is None:
+        loss_fn = render_loss_fn(
+            scene, camera, target,
+            width=target.shape[1], height=target.shape[0], **render_kw,
+        )
     opt = optax.adam(lr)
     opt_state = opt.init(params)
     start_step = 0

@@ -173,7 +173,8 @@ class Photons:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_photons", "max_bounce", "stack_size")
+    jax.jit,
+    static_argnames=("n_photons", "max_bounce", "stack_size", "differentiable"),
 )
 def photon_pass(
     scene: Scene,
@@ -181,15 +182,28 @@ def photon_pass(
     n_photons: int,
     max_bounce: int = 16,
     stack_size: int = MATERIAL_STACK_SIZE,
+    differentiable: bool = False,
 ) -> Photons:
-    """Wavefront photon tracing (photon_pass.h:98-237)."""
+    """Wavefront photon tracing (photon_pass.h:98-237).
+
+    With `differentiable=True` the bounce loop runs as a bounded
+    (rematerialized) `lax.scan` instead of a `while_loop`, so the deposited
+    photon colors are reverse-differentiable w.r.t. the material table
+    (emission flows through the energy normalization via `leaf_energies`;
+    discrete decisions — emitter pick, RR, scatter events — are integer/
+    comparison outputs, i.e. the standard pathwise gradient with the score
+    term omitted).  Identical outputs either way: the while_loop's early
+    exit is purely an optimization because every state update is masked."""
     lt = scene.light_tree
     table = scene.materials
     g = scene.geom
     p_shape = (n_photons,)
 
-    # emitter pick ∝ accumulated mean energy (photon_pass.h:60-95)
-    mean_energy = linalg.de_nan(jnp.mean(lt.node_energy[lt.num_lights - 1 :], axis=-1))
+    # emitter pick ∝ accumulated mean energy (photon_pass.h:60-95), energies
+    # read differentiably from the live table (== the baked lt.node_energy
+    # leaf values at construction time)
+    leaf_energy = lights_mod.leaf_energies(lt, table, g.mat_id)
+    mean_energy = linalg.de_nan(jnp.mean(leaf_energy, axis=-1))
     acc = jnp.cumsum(mean_energy)
     max_energy = acc[-1]
     u_pick = jax.random.uniform(jax.random.fold_in(key, 0), p_shape)
@@ -402,7 +416,13 @@ def photon_pass(
             step=st["step"] + 1,
         )
 
-    st = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        ckpt_body = jax.checkpoint(body)
+        st, _ = jax.lax.scan(
+            lambda s, _: (ckpt_body(s), None), state, None, length=max_steps
+        )
+    else:
+        st = jax.lax.while_loop(cond, body, state)
     return Photons(
         pos=st["d_pos"],
         color=st["d_color"],
@@ -460,6 +480,152 @@ def volume_gather_segment(
         * phase
     )[..., None] * photons.color[None, :, :]
     return jnp.sum(linalg.de_nan(contrib), axis=1)
+
+
+def volume_gather_segments_dense(
+    table,
+    photons: Photons,
+    seg_start: jnp.ndarray,  # (R, S, 3)
+    seg_dir: jnp.ndarray,  # (R, S, 3)
+    seg_len: jnp.ndarray,  # (R, S)
+    seg_medium: jnp.ndarray,  # (R, S)
+    seg_filt: jnp.ndarray,  # (R, S, 3) path throughput at the segment
+    seg_valid: jnp.ndarray,  # (R, S)
+    vol_radius: jnp.ndarray,  # (R,)
+) -> jnp.ndarray:
+    """Beam gather over RECORDED eye-path medium segments (dense all-pairs
+    oracle): sum_s filt_s * volume_gather_segment(segment_s).  Identical to
+    the reference's in-walk accumulation (ray_tracing_pass.h:262-286) —
+    the per-segment contributions are linear, so gathering after the walk
+    from the recorded (origin, dir, len, medium, throughput) tuples gives
+    the same sum without an O(R*P) matrix per walk step."""
+    s = seg_start.shape[1]
+    out = jnp.zeros(seg_start.shape[:1] + (3,))
+    for k in range(s):
+        lm = volume_gather_segment(
+            table, photons, seg_medium[:, k], seg_start[:, k], seg_dir[:, k],
+            seg_len[:, k], vol_radius, seg_valid[:, k],
+        )
+        out = out + seg_filt[:, k] * lm
+    return out
+
+
+def volume_gather_segments_grid(
+    table,
+    photons: Photons,
+    seg_start: jnp.ndarray,  # (R, S, 3)
+    seg_dir: jnp.ndarray,  # (R, S, 3)
+    seg_len: jnp.ndarray,  # (R, S)
+    seg_medium: jnp.ndarray,  # (R, S)
+    seg_filt: jnp.ndarray,  # (R, S, 3)
+    seg_valid: jnp.ndarray,  # (R, S)
+    vol_radius: jnp.ndarray,  # (R,)
+    k_per_cell: int = 8,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Hash-grid beam gather over recorded medium segments (replaces the
+    reference's per-pass volume-photon LBVH + cylinder traversal,
+    bvh_traversal_photon.h:15-106, with the BASELINE-mandated grid).
+
+    Geometry: grid cell = 1.5 * r_max and sample points spaced r_max apart
+    along each segment; a photon within perpendicular distance r <= r_max of
+    the axis and parallel offset <= r_max/2 from its CANONICAL sample point
+    (i = round(d_par / r_max)) is then within r_max + r_max/2 = cell of that
+    sample per axis, so the 27-cell neighborhood cannot miss it.  Each
+    in-cylinder photon has exactly one canonical i, so counting it only at
+    step i dedups across overlapping neighborhoods.  Cost per pass:
+    O(segments * steps * 27 * k_per_cell) instead of O(R * P) per walk step.
+    """
+    from gpu_pathtracer_tpu.ops import hashgrid
+
+    vphot = photons.valid & ~photons.on_surface
+    r_max = jnp.max(jnp.where(seg_valid.any(axis=1), vol_radius, 0.0))
+    spacing = jnp.maximum(r_max, 1e-12)
+    cell = 1.5 * spacing
+    grid = hashgrid.build_grid(photons.pos, vphot, cell)
+
+    r_total, s = seg_start.shape[:2]
+    q_total = r_total * s
+
+    def flat(x):
+        return x.reshape((q_total,) + x.shape[2:])
+
+    f_start = flat(seg_start)
+    f_dir = flat(seg_dir)
+    f_len = flat(seg_len)
+    f_med = flat(seg_medium)
+    f_valid = flat(seg_valid)
+    f_radius = jnp.repeat(vol_radius, s)
+
+    # static step bound: segments longer than max_steps * r_max lose their
+    # tail (the reference has its own caps: 400-entry collection lists, 64
+    # bounces); scene-scale segments at sane radii stay far below this
+    max_steps = 512
+    n_steps = jnp.minimum(
+        jnp.int32(max_steps),
+        jnp.max(jnp.where(f_valid, jnp.ceil(f_len / spacing), 0.0)).astype(jnp.int32)
+        + 1,
+    )
+
+    pad = (-q_total) % chunk
+    def padded(x, fill=0.0):
+        if not pad:
+            return x
+        filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, filler])
+
+    start_c = padded(f_start).reshape(-1, chunk, 3)
+    dir_c = padded(f_dir).reshape(-1, chunk, 3)
+    len_c = padded(f_len).reshape(-1, chunk)
+    med_c = padded(f_med.astype(jnp.int32), -1).reshape(-1, chunk)
+    valid_c = padded(f_valid, False).reshape(-1, chunk)
+    rad_c = padded(f_radius).reshape(-1, chunk)
+
+    def one_chunk(args):
+        st, dr, ln, med, val, rad = args
+        sigma_s = table.scattering_coef[jnp.maximum(med, 0)]
+        g_hg = table.g[jnp.maximum(med, 0)]
+        rr = jnp.maximum(rad, 1e-20)
+
+        def step(i, acc):
+            p_i = st + (i.astype(jnp.float32) * spacing) * dr
+            cand, ok = hashgrid.query_candidates(grid, p_i, k_per_cell)
+            cpos = photons.pos[cand]  # (C, 27K, 3)
+            w = cpos - st[:, None, :]
+            d_par = jnp.sum(w * dr[:, None, :], axis=-1)  # (C, 27K)
+            d_perp = linalg.length(w - d_par[..., None] * dr[:, None, :])
+            canonical = jnp.round(d_par / spacing).astype(jnp.int32) == i
+            inside = (
+                ok
+                & val[:, None]
+                & (i <= jnp.ceil(ln / spacing))[:, None]
+                & canonical
+                & (d_par >= 0)
+                & (d_par <= ln[:, None])
+                & (d_perp <= rr[:, None])
+            )
+            kernel = (1.0 / (rr * rr))[:, None] * sampling.silverman_biweight(
+                d_perp / rr[:, None]
+            )
+            tr = transmittance(table, med[:, None], d_par)
+            phase = sampling.henyey_greenstein_pdf(
+                g_hg[:, None], dr[:, None, :], photons.direction[cand]
+            )
+            contrib = (
+                (kernel > SMALL_EPS) * inside * kernel * tr
+                * sigma_s[:, None] * phase
+            )[..., None] * photons.color[cand]
+            return acc + jnp.sum(linalg.de_nan(contrib), axis=1)
+
+        return jax.lax.fori_loop(
+            0, n_steps, step, jnp.zeros((st.shape[0], 3))
+        )
+
+    lm = jax.lax.map(
+        one_chunk, (start_c, dir_c, len_c, med_c, valid_c, rad_c)
+    )
+    lm = lm.reshape(-1, 3)[:q_total].reshape(r_total, s, 3)
+    return jnp.sum(seg_filt * lm, axis=1)
 
 
 def surface_gather_grid(
@@ -752,15 +918,35 @@ def eye_pass(
     init: bool,
     max_bounce: int = 64,
     stack_size: int = MATERIAL_STACK_SIZE,
+    differentiable: bool = False,
+    max_segments: int = 8,
+    volume_grid: bool = False,
 ):
     """One eye trace per pixel to the first diffuse hit
     (_get_hit_point_details, ray_tracing_pass.h:171-392).
 
     Returns (loc, normal, filter, direct_radiance, tmp_lm, valid).
+
+    Volume gather: instead of the reference's in-walk cylinder traversal
+    per medium segment (ray_tracing_pass.h:262-286) — which on TPU would
+    materialize an O(R x P) pair matrix on EVERY walk step — the walk
+    RECORDS up to `max_segments` (origin, dir, len, medium, throughput)
+    tuples per ray, and one gather over the recorded segments runs after
+    the loop (`volume_gather_segments_dense`, or the hash-grid form with
+    `volume_grid=True`).  Contributions are linear in the per-segment
+    radiance, so the sum is identical; rays with more than `max_segments`
+    medium segments drop the excess (the reference caps its own collection
+    lists at 400).
+
+    `differentiable=True` runs the bounce loop as a bounded rematerialized
+    scan (same outputs — every update is masked) so the recorded filter /
+    direct radiance / volume gather are reverse-differentiable w.r.t. the
+    material table.
     """
     table = scene.materials
     g = scene.geom
     r = pix_i.shape[0]
+    record_segments = (volume_photons is not None) and (not init)
 
     o, d = camera.generate_rays(
         pix_i, pix_j,
@@ -783,7 +969,12 @@ def eye_pass(
         in_medium=in_medium0, medium=medium0,
         prev_in_medium=in_medium0, prev_medium=medium0,
         prev_pt=o,
-        tmp_lm=jnp.zeros((r, 3)),
+        sg_start=jnp.zeros((r, max_segments, 3)),
+        sg_dir=jnp.zeros((r, max_segments, 3)),
+        sg_len=jnp.zeros((r, max_segments)),
+        sg_med=jnp.full((r, max_segments), -1, jnp.int32),
+        sg_filt=jnp.zeros((r, max_segments, 3)),
+        sg_cnt=jnp.zeros((r,), jnp.int32),
         live=jnp.ones((r,), bool),
         found=jnp.zeros((r,), bool),
         # recorded diffuse-hit info
@@ -817,18 +1008,36 @@ def eye_pass(
         in_m = jnp.where(live, in_m, st["in_medium"])
         med = jnp.where(live, med, st["medium"])
 
-        # volumetric beam gather + transmittance along the segment
+        # record the medium segment (gathered after the loop) + apply the
+        # segment transmittance
         seg_vec = pt - st["prev_pt"]
         seg_l = linalg.length(seg_vec)
         seg_dir = linalg.normalize(seg_vec, SMALL_EPS)
         seg_on = live & ~ref.false_hit & st["prev_in_medium"]
-        tmp_lm = st["tmp_lm"]
-        if (volume_photons is not None) and (not init):
-            lm = volume_gather_segment(
-                table, volume_photons, st["prev_medium"], st["prev_pt"],
-                seg_dir, seg_l, volume_radius, seg_on,
+        sg = {k: st[k] for k in
+              ("sg_start", "sg_dir", "sg_len", "sg_med", "sg_filt", "sg_cnt")}
+        if record_segments:
+            can = seg_on & (st["sg_cnt"] < max_segments)
+            slot = (
+                jnp.arange(max_segments, dtype=jnp.int32)[None, :]
+                == st["sg_cnt"][:, None]
+            ) & can[:, None]
+            sg = dict(
+                sg_start=jnp.where(
+                    slot[..., None], st["prev_pt"][:, None, :], st["sg_start"]
+                ),
+                sg_dir=jnp.where(
+                    slot[..., None], seg_dir[:, None, :], st["sg_dir"]
+                ),
+                sg_len=jnp.where(slot, seg_l[:, None], st["sg_len"]),
+                sg_med=jnp.where(
+                    slot, st["prev_medium"][:, None], st["sg_med"]
+                ),
+                sg_filt=jnp.where(
+                    slot[..., None], st["filt"][:, None, :], st["sg_filt"]
+                ),
+                sg_cnt=st["sg_cnt"] + can.astype(jnp.int32),
             )
-            tmp_lm = tmp_lm + st["filt"] * lm
         tr = transmittance(table, st["prev_medium"], seg_l)
         filt = st["filt"] * jnp.where(
             (seg_on & jnp.bool_(not init))[..., None], tr[..., None], 1.0
@@ -853,7 +1062,7 @@ def eye_pass(
             prev_in_medium=jnp.where(upd, in_m, st["prev_in_medium"]),
             prev_medium=jnp.where(upd, med, st["prev_medium"]),
             prev_pt=jnp.where(upd[..., None], pt, st["prev_pt"]),
-            tmp_lm=tmp_lm,
+            **sg,
             live=live & ~found_now,
             found=st["found"] | found_now,
             h_pt=h(pt, st["h_pt"]), h_nrm=h(nrm, st["h_nrm"]),
@@ -869,7 +1078,30 @@ def eye_pass(
             step=st["step"] + 1,
         )
 
-    st = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        ckpt_body = jax.checkpoint(body)
+        st, _ = jax.lax.scan(
+            lambda s, _: (ckpt_body(s), None), state, None, length=max_bounce
+        )
+    else:
+        st = jax.lax.while_loop(cond, body, state)
+
+    # gather the recorded medium segments (see docstring)
+    tmp_lm = jnp.zeros((r, 3))
+    if record_segments:
+        seg_valid = (
+            jnp.arange(max_segments, dtype=jnp.int32)[None, :]
+            < st["sg_cnt"][:, None]
+        )
+        gather_fn = (
+            volume_gather_segments_grid if volume_grid
+            else volume_gather_segments_dense
+        )
+        tmp_lm = gather_fn(
+            table, volume_photons, st["sg_start"], st["sg_dir"],
+            st["sg_len"], st["sg_med"], st["sg_filt"], seg_valid,
+            volume_radius,
+        )
 
     # the recorded hit-point filter includes the diffuse filter_2 (= kd):
     # ray_tracing_pass.h:292-297 then :585-587 stores `filter`
@@ -889,7 +1121,196 @@ def eye_pass(
         direct = jnp.where(st["found"][..., None], direct, 0.0)
 
     loc = jnp.where(st["found"][..., None], st["h_pt"], jnp.inf)
-    return loc, st["h_nrm"], h_filter, direct, st["tmp_lm"], st["found"]
+    return loc, st["h_nrm"], h_filter, direct, tmp_lm, st["found"]
+
+
+# ---------------------------------------------------------------------------
+# initial-radius helper (ray_tracing_pass.h:394-450, :542-583)
+# ---------------------------------------------------------------------------
+
+def initial_radius(
+    eye_fn,
+    scene: Scene,
+    camera,
+    key_init: jax.Array,
+    pix_i: jnp.ndarray,
+    pix_j: jnp.ndarray,
+    loc: jnp.ndarray,  # (R, 3) main init-pass hit locations
+    valid: jnp.ndarray,  # (R,)
+    radius_scale,
+):
+    """Initial SPPM gather radius: 4 corner rays per pixel, radius = min
+    pairwise distance among the 5 hit points * scaling factor; invalid
+    pixels get the average valid radius."""
+    r = pix_i.shape[0]
+    vol_r = jnp.full((r,), jnp.inf)
+    corner_locs = []
+    offsets = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
+    for c, (oi, oj) in enumerate(offsets):
+        cl, _, _, _, _, cv = eye_fn(
+            scene, camera, jax.random.fold_in(key_init, 1 + c),
+            pix_i + oi, pix_j + oj, None, vol_r, init=True,
+        )
+        corner_locs.append(jnp.where(cv[..., None], cl, jnp.inf))
+
+    radius = jnp.full((r,), jnp.inf)
+    pts = [jnp.where(valid[..., None], loc, jnp.inf)] + corner_locs
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            dist = linalg.length(pts[a] - pts[b])
+            ok = jnp.isfinite(dist) & (dist > 0)
+            radius = jnp.where(ok & (dist < radius), dist, radius)
+    radius = radius * radius_scale
+    finite = jnp.isfinite(radius)
+    avg = jnp.sum(jnp.where(finite, radius, 0.0)) / jnp.maximum(
+        jnp.sum(finite), 1
+    )
+    return jnp.where(finite, radius, avg)
+
+
+# ---------------------------------------------------------------------------
+# differentiable SPPM (BASELINE config 5: emitter optimization THROUGH the
+# photon mapper — the reference driver main.cu:1489-1869 is forward-only)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "n_photons", "num_pass", "max_bounce",
+        "eye_bounce", "stack_size", "gather_volume", "k_nearest",
+    ),
+)
+def render_sppm_differentiable(
+    scene: Scene,
+    camera,
+    key: jax.Array,
+    width: int,
+    height: int,
+    n_photons: int,
+    num_pass: int,
+    max_bounce: int = 16,
+    eye_bounce: int = 16,
+    alpha: float = 0.7,
+    radius_scale: float = 1.0,
+    stack_size: int = MATERIAL_STACK_SIZE,
+    gather_volume: bool = False,
+    k_nearest: int = 16,
+) -> jnp.ndarray:
+    """Fully jitted, reverse-differentiable SPPM render: one functional
+    `lax.scan` over passes whose carried `HitPoints` radiance is
+    differentiable w.r.t. the material table (notably `ke`: photon emission
+    colors flow through `leaf_energies`'s energy normalization, the direct
+    chain flows through `emission_color`).
+
+    Same estimator as `render_sppm` with two deliberate deviations:
+
+    * the init pass contributes geometry + initial radius ONLY (its direct-
+      radiance sample is dropped, so the direct estimator averages
+      `num_pass` instead of `num_pass + 1` iid samples — same expectation);
+    * the init/corner traces run on a `stop_gradient` copy of the scene
+      (the gather radius is geometry-only, and the traces stay as cheap
+      non-differentiable while_loops).
+
+    Returns (H, W, 3) linear radiance.
+    """
+    import dataclasses
+
+    h, w = height, width
+    r = w * h
+    ii, jj = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix_i = ii.reshape(-1)
+    pix_j = jj.reshape(-1)
+
+    eye_fn = functools.partial(
+        eye_pass, max_bounce=eye_bounce, stack_size=stack_size
+    )
+
+    # geometry-only init pass + corner radius on the detached scene
+    sg_scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    sg_camera = jax.tree.map(jax.lax.stop_gradient, camera)
+    key_init = jax.random.fold_in(key, 0)
+    vol_r0 = jnp.full((r,), jnp.inf)
+    loc, nrm, filt, _, _, valid = eye_fn(
+        sg_scene, sg_camera, jax.random.fold_in(key_init, 0),
+        pix_i + 0.5, pix_j + 0.5, None, vol_r0, init=True,
+    )
+    radius = initial_radius(
+        eye_fn, sg_scene, sg_camera, key_init, pix_i, pix_j, loc, valid,
+        radius_scale,
+    )
+
+    hp0 = HitPoints(
+        loc=jnp.where(valid[..., None], loc, jnp.inf),
+        normal=nrm,
+        filter=filt,
+        direct=jnp.zeros((r, 3)),
+        indirect=jnp.zeros((r, 3)),
+        tmp_lm=jnp.zeros((r, 3)),
+        surface_radius=radius,
+        volume_radius=2.0 * radius,
+        valid=valid,
+    )
+
+    def one_pass(hp: HitPoints, it):
+        pkey = jax.random.fold_in(key, 1000 + it)
+        photons = photon_pass(
+            scene, pkey, n_photons=n_photons, max_bounce=max_bounce,
+            stack_size=stack_size, differentiable=True,
+        )
+        u_i = jax.random.uniform(jax.random.fold_in(pkey, 2), (r,))
+        u_j = jax.random.uniform(jax.random.fold_in(pkey, 3), (r,))
+        loc, nrm, filt, direct, tmp_lm, valid = eye_fn(
+            scene, camera, jax.random.fold_in(pkey, 1),
+            pix_i + u_i, pix_j + u_j,
+            photons if gather_volume else None, hp.volume_radius,
+            init=False, differentiable=True,
+        )
+        hp = dataclasses.replace(
+            hp,
+            loc=jnp.where(valid[..., None], loc, jnp.inf),
+            normal=nrm,
+            filter=filt,
+            direct=hp.direct + direct,
+            tmp_lm=tmp_lm,
+            valid=valid,
+        )
+        flux, _ = surface_gather(
+            scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid,
+            k_nearest=k_nearest,
+        )
+        iteration = (it + 1).astype(jnp.float32)
+        shrink = jnp.where(
+            iteration >= 2.0,
+            jnp.sqrt((iteration + alpha) / (iteration + 1.0)),
+            1.0,
+        )
+        shrink_v = jnp.where(
+            iteration >= 2.0,
+            jnp.power((iteration + alpha) / (iteration + 1.0), 1.0 / 3.0),
+            1.0,
+        )
+        surf_contrib = linalg.de_nan(
+            hp.filter * flux
+            / (n_photons * jnp.pi * (hp.surface_radius[..., None] ** 2))
+        )
+        vol_contrib = linalg.de_nan(hp.tmp_lm / n_photons)
+        hp = dataclasses.replace(
+            hp,
+            indirect=hp.indirect + surf_contrib + vol_contrib,
+            surface_radius=hp.surface_radius * shrink,
+            volume_radius=hp.volume_radius * shrink_v,
+            tmp_lm=jnp.zeros_like(hp.tmp_lm),
+        )
+        return hp, None
+
+    hp, _ = jax.lax.scan(
+        jax.checkpoint(one_pass), hp0, jnp.arange(num_pass)
+    )
+    img = (hp.direct + hp.indirect) / num_pass
+    return linalg.de_nan(img).reshape(h, w, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -952,9 +1373,13 @@ def render_sppm(
     if photon_pass_fn is None:
         photon_pass_fn = photon_pass
 
+    # dense recorded-segment gather for tiny workloads; hash-grid beams once
+    # the (segments x photons) product would dominate
+    use_vol_grid = r * n_phot > (1 << 24)
     eye_jit = jax.jit(
         functools.partial(
-            eye_pass, max_bounce=64, stack_size=cfg.max_stack
+            eye_pass, max_bounce=64, stack_size=cfg.max_stack,
+            volume_grid=use_vol_grid,
         ),
         static_argnames=("init",),
     )
@@ -1027,30 +1452,10 @@ def render_sppm(
     if resumed_hp is not None:
         hp = resumed_hp
     else:
-        corner_locs = []
-        offsets = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
-        for c, (oi, oj) in enumerate(offsets):
-            cl, _, _, _, _, cv = eye_jit(
-                scene, camera, jax.random.fold_in(key_init, 1 + c),
-                pix_i + oi, pix_j + oj, None, vol_r, init=True,
-            )
-            corner_locs.append(jnp.where(cv[..., None], cl, jnp.inf))
-
-        radius = jnp.full((r,), jnp.inf)
-        pts = [jnp.where(valid[..., None], loc, jnp.inf)] + corner_locs
-        for a in range(len(pts)):
-            for b in range(a + 1, len(pts)):
-                dist = linalg.length(pts[a] - pts[b])
-                ok = jnp.isfinite(dist) & (dist > 0)
-                radius = jnp.where(ok & (dist < radius), dist, radius)
-        radius = radius * cfg.ppm_radius_scaling_factor
-        # invalid pixels get the average valid radius
-        # (ray_tracing_pass.h:394-450)
-        finite = jnp.isfinite(radius)
-        avg = jnp.sum(jnp.where(finite, radius, 0.0)) / jnp.maximum(
-            jnp.sum(finite), 1
+        radius = initial_radius(
+            eye_jit, scene, camera, key_init, pix_i, pix_j, loc, valid,
+            cfg.ppm_radius_scaling_factor,
         )
-        radius = jnp.where(finite, radius, avg)
 
         hp = HitPoints(
             loc=loc,

@@ -169,12 +169,18 @@ def make_neon_sign(
     folder = pathlib.Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
 
+    # neon tubes carry a small Kd so the direct-radiance chain records their
+    # emission (diffuse hits only, ray_tracing_pass.h:112-118; kd=ks=0 pure
+    # emitters fall into the specular 0/0 branch, material.h:598-602)
     e = emission
     mtl = [
         "newmtl white", "Kd 0.73 0.73 0.73", "Ks 0 0 0", "d 1.0", "Ns 1",
-        "newmtl neon_r", "Kd 0 0 0", f"Ke {e} {e * 0.12} {e * 0.2}", "d 1.0", "Ns 1",
-        "newmtl neon_g", "Kd 0 0 0", f"Ke {e * 0.15} {e} {e * 0.3}", "d 1.0", "Ns 1",
-        "newmtl neon_b", "Kd 0 0 0", f"Ke {e * 0.2} {e * 0.4} {e}", "d 1.0", "Ns 1",
+        "newmtl neon_r", "Kd 0.6 0.1 0.15", f"Ke {e} {e * 0.12} {e * 0.2}",
+        "d 1.0", "Ns 1",
+        "newmtl neon_g", "Kd 0.1 0.6 0.2", f"Ke {e * 0.15} {e} {e * 0.3}",
+        "d 1.0", "Ns 1",
+        "newmtl neon_b", "Kd 0.15 0.25 0.6", f"Ke {e * 0.2} {e * 0.4} {e}",
+        "d 1.0", "Ns 1",
     ]
 
     obj = ["mtllib sign.mtl"]
@@ -277,6 +283,142 @@ def make_emitter_panel(
     (folder / "panel.mtl").write_text("\n".join(mtl) + "\n")
     (folder / "panel.obj").write_text("\n".join(obj) + "\n")
     return "panel.obj", "panel.mtl"
+
+
+def make_mesh_scene_host(subdiv: int = 7, displace: float = 0.12):
+    """Large-mesh scene as a ready HostScene (BASELINE config 2 analog at
+    stress scale): a displaced icosphere with 20 * 4^subdiv triangles
+    (subdiv=7 -> 327,680) over a ground plane, lit by an emissive quad.
+
+    Built directly as numpy SoA — the OBJ round-trip at 300k faces is pure
+    I/O overhead for a procedural stress scene.  Exercises the
+    HBM-resident Pallas traversal above PALLAS_MAX.
+    """
+    import numpy as np
+
+    from gpu_pathtracer_tpu.utils.obj_io import (
+        HostMaterials,
+        HostScene,
+        TextureAtlas,
+    )
+
+    # icosahedron faces as (F, 3, 3) vertex positions, unit sphere
+    t = (1.0 + math.sqrt(5.0)) / 2.0
+    v = np.array(
+        [
+            (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+            (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+            (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
+        ],
+        np.float64,
+    )
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    f = np.array(
+        [
+            (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+            (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+            (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+            (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+        ]
+    )
+    tri = v[f]  # (20, 3, 3)
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    for _ in range(subdiv):  # vectorized 1->4 split (vertices duplicated)
+        a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        ab, bc, ca = norm(a + b), norm(b + c), norm(c + a)
+        tri = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([b, bc, ab], axis=1),
+                np.stack([c, ca, bc], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ]
+        )
+
+    # smooth displacement field (sum of sines) along the sphere normal
+    n = tri  # unit normals == positions on the unit sphere
+    disp = (
+        np.sin(7.0 * n[..., 0])
+        + np.sin(9.0 * n[..., 1] + 1.3)
+        + np.sin(11.0 * n[..., 2] + 2.1)
+    ) * (displace / 3.0)
+    pos = n * (1.0 + disp)[..., None]
+    pos = pos * 0.35
+    pos[..., 1] += 0.45
+    pos[..., 0] += 0.5
+    pos[..., 2] += 0.5
+
+    f_count = tri.shape[0]
+    tri_p = [pos.astype(np.float32)]
+    tri_n = [n.astype(np.float32)]
+    # equirect uv from the sphere normal
+    uv = np.stack(
+        [
+            0.5 + np.arctan2(n[..., 2], n[..., 0]) / (2 * np.pi),
+            0.5 - np.arcsin(np.clip(n[..., 1], -1, 1)) / np.pi,
+        ],
+        axis=-1,
+    )
+    tri_uv = [uv.astype(np.float32)]
+    mat_idx = [np.full((f_count,), 1, np.int32)]
+    obj_idx = [np.zeros((f_count,), np.int32)]
+
+    def add_quad(p1, p2, p3, p4, nrm, mat, obj):
+        quad = np.array([[p1, p2, p3], [p1, p3, p4]], np.float32)
+        tri_p.append(quad)
+        tri_n.append(np.tile(np.asarray(nrm, np.float32), (2, 3, 1)))
+        tri_uv.append(np.zeros((2, 3, 2), np.float32))
+        mat_idx.append(np.full((2,), mat, np.int32))
+        obj_idx.append(np.full((2,), obj, np.int32))
+
+    add_quad((-3, 0, -3), (-3, 0, 3), (3, 0, 3), (3, 0, -3), (0, 1, 0), 1, 1)
+    add_quad(
+        (0.2, 1.6, 0.2), (0.8, 1.6, 0.2), (0.8, 1.6, 0.8), (0.2, 1.6, 0.8),
+        (0, -1, 0), 2, 2,
+    )
+
+    tri_p = np.concatenate(tri_p)
+    total = tri_p.shape[0]
+    mats = HostMaterials(
+        name=["Default_123", "white", "light"],
+        ka=np.zeros((3, 3), np.float32),
+        kd=np.array([[0.9, 0.9, 0.9], [0.73, 0.73, 0.73], [0.0, 0.0, 0.0]],
+                    np.float32),
+        ks=np.zeros((3, 3), np.float32),
+        ke=np.array([[0, 0, 0], [0, 0, 0], [15, 15, 15]], np.float32),
+        tf=np.zeros((3, 3), np.float32),
+        path_length=np.zeros((3,), np.float32),
+        t_r=np.zeros((3,), np.float32),
+        n_s=np.ones((3,), np.float32),
+        n_i=np.ones((3,), np.float32),
+        bm=np.ones((3,), np.float32),
+        scattering_coef=np.zeros((3,), np.float32),
+        absorption_coef=np.zeros((3,), np.float32),
+        g=np.zeros((3,), np.float32),
+        priority=np.zeros((3,), np.int32),
+        tex_slot=np.zeros((3, 5), np.int32),
+    )
+    atlas = TextureAtlas(
+        rgb=np.ones((1, 3), np.float32),
+        names=["__white__"],
+        offsets=np.zeros((1,), np.int32),
+        heights=np.ones((1,), np.int32),
+        widths=np.ones((1,), np.int32),
+    )
+    return HostScene(
+        tri_p=tri_p,
+        tri_n=np.concatenate(tri_n),
+        tri_uv=np.concatenate(tri_uv),
+        tri_tangent=np.full((total, 3, 3), np.nan, np.float32),
+        mat_idx=np.concatenate(mat_idx),
+        object_idx=np.concatenate(obj_idx),
+        num_objects=3,
+        materials=mats,
+        atlas=atlas,
+    )
 
 
 def cornell_master_file(
