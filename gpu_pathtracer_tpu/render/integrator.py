@@ -236,7 +236,7 @@ def trace_paths(
             from gpu_pathtracer_tpu.render import sss as sss_mod
 
             sss_now = hit & ref.sss & ~sss_done
-            gathered = sss_mod.gather_sss(
+            gathered = sss_mod.gather_sss_auto(
                 scene.sss,
                 point,
                 g.obj_id[jnp.maximum(slot, 0)],

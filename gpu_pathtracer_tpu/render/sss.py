@@ -153,6 +153,83 @@ def gather_sss(
     return avg * kd * found[..., None]
 
 
+def gather_sss_grid(
+    points: SSSPoints,
+    hit_pt: jnp.ndarray,  # (R, 3)
+    hit_obj: jnp.ndarray,  # (R,) int32
+    radius: jnp.ndarray,  # (R,) material path_length
+    kd: jnp.ndarray,  # (R, 3)
+    enable: jnp.ndarray,  # (R,)
+    k_per_cell: int = 32,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """`gather_sss` via the spatial hash grid (the scalable replacement for
+    the reference's per-object point-BVH forest, bvh_building_pts.h:31-167):
+    cell size = the max gather radius, so each ray inspects only the 27
+    neighbor cells — O(R * 27 * k_per_cell) instead of the dense (R, S)
+    matrix that OOMs past toy point counts.
+
+    Up to `k_per_cell` points are taken per cell (the dense path is
+    unbounded; extremely dense clouds drop the excess — callers pick
+    k_per_cell >= expected points/cell)."""
+    from gpu_pathtracer_tpu.ops import hashgrid
+
+    cell = jnp.maximum(jnp.max(jnp.where(enable, radius, 0.0)), 1e-6)
+    grid = hashgrid.build_grid(points.pos, points.valid, cell)
+
+    r_total = hit_pt.shape[0]
+    pad = (-r_total) % chunk
+
+    def padded(x, fill=0.0):
+        if not pad:
+            return x
+        filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, filler])
+
+    pt_c = padded(hit_pt).reshape(-1, chunk, 3)
+    obj_c = padded(hit_obj, -1).reshape(-1, chunk)
+    rad_c = padded(radius).reshape(-1, chunk)
+    en_c = padded(enable, False).reshape(-1, chunk)
+
+    def one_chunk(args):
+        pt, obj, rad, en = args
+        cand, ok = hashgrid.query_candidates(grid, pt, k_per_cell)  # (C, 27K)
+        d = linalg.length(points.pos[cand] - pt[:, None, :])
+        inside = (
+            ok
+            & en[:, None]
+            & (points.obj_id[cand] == obj[:, None])
+            & (d <= rad[:, None])
+        )
+        w = jnp.where(
+            inside, jnp.minimum(1.0 / jnp.maximum(d, 1e-20), 9999.99), 0.0
+        )
+        sum_w = jnp.sum(w, axis=-1)
+        color = jnp.sum(w[..., None] * points.color[cand], axis=-2)
+        found = sum_w > 0
+        avg = jnp.where(
+            found[..., None], color / jnp.maximum(sum_w, 1e-20)[..., None], 0.0
+        )
+        return avg, found
+
+    avg, found = jax.lax.map(one_chunk, (pt_c, obj_c, rad_c, en_c))
+    avg = avg.reshape(-1, 3)[:r_total]
+    found = found.reshape(-1)[:r_total]
+    return avg * kd * found[..., None]
+
+
+# dense all-pairs below this point count; hash grid above (the (R, S) matrix
+# at wavefront widths is the memory cliff VERDICT r2 flagged)
+SSS_DENSE_MAX = 2048
+
+
+def gather_sss_auto(points, hit_pt, hit_obj, radius, kd, enable):
+    """Size-dispatched SSS gather (static: point count is a shape)."""
+    if points.pos.shape[0] <= SSS_DENSE_MAX:
+        return gather_sss(points, hit_pt, hit_obj, radius, kd, enable)
+    return gather_sss_grid(points, hit_pt, hit_obj, radius, kd, enable)
+
+
 def attach_sss(
     scene: Scene,
     key: jax.Array,

@@ -93,3 +93,56 @@ def test_render_with_sss(sss_scene):
     )
     assert np.isfinite(img).all()
     assert img.mean() > 0.005
+
+
+def test_gather_sss_grid_matches_dense():
+    """Hash-grid SSS gather == dense all-pairs oracle on a synthetic cloud
+    with several objects (no false negatives: cell = max radius)."""
+    from gpu_pathtracer_tpu.models.scene import SSSPoints
+
+    key = jax.random.key(21)
+    s, r = 800, 128
+    pts = SSSPoints(
+        pos=jax.random.uniform(jax.random.fold_in(key, 0), (s, 3)),
+        normal=jnp.zeros((s, 3)).at[:, 1].set(1.0),
+        filter=jnp.ones((s, 3)),
+        color=jax.random.uniform(jax.random.fold_in(key, 1), (s, 3)),
+        obj_id=jax.random.randint(jax.random.fold_in(key, 2), (s,), 0, 3),
+        valid=jax.random.uniform(jax.random.fold_in(key, 3), (s,)) < 0.9,
+    )
+    hit_pt = jax.random.uniform(jax.random.fold_in(key, 4), (r, 3))
+    hit_obj = jax.random.randint(jax.random.fold_in(key, 5), (r,), 0, 3)
+    radius = jax.random.uniform(
+        jax.random.fold_in(key, 6), (r,), minval=0.05, maxval=0.2
+    )
+    kd = jax.random.uniform(jax.random.fold_in(key, 7), (r, 3))
+    enable = jax.random.uniform(jax.random.fold_in(key, 8), (r,)) < 0.8
+
+    dense = sss.gather_sss(pts, hit_pt, hit_obj, radius, kd, enable)
+    grid = sss.gather_sss_grid(
+        pts, hit_pt, hit_obj, radius, kd, enable, k_per_cell=64
+    )
+    assert np.asarray(dense).sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(grid), np.asarray(dense), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_render_with_sss_10k_points(sss_scene):
+    """10k SSS points must route through the grid gather (> SSS_DENSE_MAX)
+    and render without materializing the (rays, points) matrix."""
+    scene = sss.attach_sss(
+        sss_scene, jax.random.key(2), pts_per_object=10000, sample_size=1,
+        level=2,
+    )
+    assert scene.sss.pos.shape[0] > sss.SSS_DENSE_MAX
+    cam = Camera.create(
+        eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
+        fovy_deg=40.0, width=16, height=16,
+    )
+    img = np.asarray(
+        render_image(scene, cam, jax.random.key(3), width=16, height=16,
+                     sample_size=2, level=3, hittable_pdf_weight=0.5)
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.005
