@@ -80,10 +80,16 @@ def _build_geometry_set(
     obj_id: np.ndarray,
     leaf_size: int,
 ) -> GeometrySet:
+    import jax
+
     p = jnp.asarray(tri_p)
     pmin = jnp.min(p, axis=1)
     pmax = jnp.max(p, axis=1)
-    bvh = bvh_mod.build_bvh(pmin, pmax, leaf_size=leaf_size)
+    # one jitted program: eager per-op dispatch of the Karras build's
+    # while_loops is minutes of round-trips at 300k+ triangles on TPU
+    bvh = jax.jit(
+        bvh_mod.build_bvh, static_argnames=("leaf_size",)
+    )(pmin, pmax, leaf_size=leaf_size)
     order = np.asarray(bvh.order)  # (T,) -1 pad
     safe = np.maximum(order, 0)
     valid = order >= 0

@@ -189,6 +189,159 @@ def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
     out_slot_ref[:] = best_slot
 
 
+def _closest_kernel_big(rays_ref, aabb_ref, tris_hbm, out_t_ref, out_slot_ref,
+                        scratch_ref, sem_ref, *, n_tiles: int, tile: int):
+    """HBM-resident variant: triangle tiles stay in HBM and are DMA'd into a
+    VMEM scratch tile ONLY when the block-level AABB cull passes — VMEM holds
+    just the per-tile AABBs (32 B/tile) + one scratch tile, so the triangle
+    count is bounded by HBM, not VMEM (the resident kernel caps at
+    PALLAS_MAX = 8 MB of VMEM).  With Morton-ordered tiles and
+    coherence-sorted rays, a block DMAs only the tiles its rays walk."""
+    rays = rays_ref[:]  # (RB, 8)
+    rb = rays.shape[0]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx_, dy_, dz_ = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    t_cap = rays[:, 6:7]
+
+    ax, ay, az = jnp.abs(dx_), jnp.abs(dy_), jnp.abs(dz_)
+    is2 = (az >= ax) & (az >= ay)
+    is1 = (~is2) & (ay >= ax)
+    is0 = ~(is1 | is2)
+
+    def perm(vx, vy, vz):
+        x = jnp.where(is0, vy, jnp.where(is1, vz, vx))
+        y = jnp.where(is0, vz, jnp.where(is1, vx, vy))
+        z = jnp.where(is0, vx, jnp.where(is1, vy, vz))
+        return x, y, z
+
+    dx, dy, dz = perm(dx_, dy_, dz_)
+    sx = -dx / dz
+    sy = -dy / dz
+    sz = 1.0 / dz
+
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx_) < 1e-20, 1e-20, dx_)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy_) < 1e-20, 1e-20, dy_)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz_) < 1e-20, 1e-20, dz_)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, tile), 1)
+
+    def tile_body(ti, carry):
+        best_t, best_slot = carry
+
+        box = aabb_ref[pl.ds(ti, 1), :]
+        t0x = (box[0:1, 0:1] - ox) * inv_dx
+        t1x = (box[0:1, 3:4] - ox) * inv_dx
+        t0y = (box[0:1, 1:2] - oy) * inv_dy
+        t1y = (box[0:1, 4:5] - oy) * inv_dy
+        t0z = (box[0:1, 2:3] - oz) * inv_dz
+        t1z = (box[0:1, 5:6] - oz) * inv_dz
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+
+        @pl.when(any_hit)
+        def _():
+            dma = pltpu.make_async_copy(
+                tris_hbm.at[ti], scratch_ref, sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        def compute(carry):
+            best_t, best_slot = carry
+            tv = scratch_ref[:]  # (16, TK), DMA'd above
+            tri_tol = tv[9:10, :]
+
+            def corner(c):
+                vx = tv[3 * c + 0 : 3 * c + 1, :] - ox
+                vy = tv[3 * c + 1 : 3 * c + 2, :] - oy
+                vz = tv[3 * c + 2 : 3 * c + 3, :] - oz
+                px, py, pz_ = perm(vx, vy, vz)
+                return px + sx * pz_, py + sy * pz_, pz_ * sz
+
+            x1, y1, z1 = corner(0)
+            x2, y2, z2 = corner(1)
+            x3, y3, z3 = corner(2)
+            e1 = x2 * y3 - y2 * x3
+            e2 = x3 * y1 - y3 * x1
+            e3 = x1 * y2 - y1 * x2
+            mixed = ((e1 < 0) | (e2 < 0) | (e3 < 0)) & (
+                (e1 > 0) | (e2 > 0) | (e3 > 0)
+            )
+            det = e1 + e2 + e3
+            ts = e1 * z1 + e2 * z2 + e3 * z3
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            t = ts * inv_det
+            hit = (
+                (~mixed)
+                & (det != 0.0)
+                & (t < best_t)
+                & (t <= t_cap)
+                & (t >= tri_tol)
+            )
+            t = jnp.where(hit, t, _INF)
+            t_min = jnp.min(t, axis=1, keepdims=True)
+            k = jnp.min(
+                jnp.where(t == t_min, lane, jnp.int32(2**30)),
+                axis=1,
+                keepdims=True,
+            )
+            better = t_min < best_t
+            best_t = jnp.where(better, t_min, best_t)
+            best_slot = jnp.where(better, ti * tile + k, best_slot)
+            return best_t, best_slot
+
+        return jax.lax.cond(any_hit, compute, lambda c: c, (best_t, best_slot))
+
+    best_t0 = jnp.minimum(jnp.full((rb, 1), _INF), t_cap)
+    best_slot0 = jnp.full((rb, 1), -1, jnp.int32)
+    best_t, best_slot = jax.lax.fori_loop(
+        0, n_tiles, tile_body, (best_t0, best_slot0)
+    )
+    out_t_ref[:] = best_t
+    out_slot_ref[:] = best_slot
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
+    r = rays.shape[0]
+    n_tiles = tri_cols.shape[0]
+    tile = tri_cols.shape[2]
+    n_blocks = r // RAY_BLOCK
+    kernel = functools.partial(_closest_kernel_big, n_tiles=n_tiles, tile=tile)
+    out_t, out_slot = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (RAY_BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs (small)
+            pl.BlockSpec(memory_space=pl.ANY),  # tri SoA stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(rays, tile_aabb, tri_cols)
+    return out_t[:, 0], out_slot[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _closest_call(tri_cols, tile_aabb, rays, *, interpret: bool):
     r = rays.shape[0]
@@ -227,10 +380,14 @@ def closest_hit_pallas(
     direction: jnp.ndarray,  # (R, 3)
     t_max: jnp.ndarray | float = jnp.inf,
     interpret: bool | None = None,
+    big: bool = False,
 ):
     """Closest hit for a ray batch.  Returns (t, slot, hit); slot indexes the
     sorted triangle SoA, -1 on miss.  Non-differentiable by construction
-    (stop_gradient); recompute winner attributes outside."""
+    (stop_gradient); recompute winner attributes outside.
+
+    `big=True` selects the HBM-resident kernel (triangles DMA'd per tile
+    under the cull) for scenes past the VMEM-resident cap."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     r = origin.shape[0]
@@ -251,7 +408,8 @@ def closest_hit_pallas(
         filler = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(1.0)
         rays = jnp.concatenate([rays, filler])
     rays = jax.lax.stop_gradient(rays)
-    t, slot = _closest_call(
+    call = _closest_call_big if big else _closest_call
+    t, slot = call(
         jax.lax.stop_gradient(tri_cols),
         jax.lax.stop_gradient(tile_aabb),
         rays,

@@ -213,9 +213,14 @@ def _use_pallas(g) -> bool:
         return False
     return (
         getattr(g, "tri_cols", None) is not None
-        and g.p.shape[0] <= PALLAS_MAX
         and jax.default_backend() == "tpu"
     )
+
+
+def _pallas_big(g) -> bool:
+    """Above PALLAS_MAX the triangle SoA no longer fits VMEM; switch to the
+    HBM-resident kernel (per-tile DMA under the cull)."""
+    return g.p.shape[0] > PALLAS_MAX
 
 
 def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
@@ -228,6 +233,7 @@ def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
     from gpu_pathtracer_tpu.ops import pallas_trace
 
     r = origin.shape[0]
+    big = _pallas_big(g)
     sort = (
         RAY_SORT_MIN > 0
         and r >= RAY_SORT_MIN
@@ -235,7 +241,7 @@ def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
     )
     if not sort:
         return pallas_trace.closest_hit_pallas(
-            g.tri_cols, g.tile_aabb, origin, direction, t_max
+            g.tri_cols, g.tile_aabb, origin, direction, t_max, big=big
         )
     perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction))
     o_s = jnp.take(origin, perm, axis=0)
@@ -246,7 +252,7 @@ def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
     t_max = jnp.asarray(t_max, jnp.float32)
     tm_s = jnp.take(t_max, perm, axis=0) if t_max.ndim > 0 else t_max
     t, slot, hit = pallas_trace.closest_hit_pallas(
-        g.tri_cols, g.tile_aabb, o_s, d_s, tm_s
+        g.tri_cols, g.tile_aabb, o_s, d_s, tm_s, big=big
     )
     inv = jnp.argsort(perm)
     return (
