@@ -71,6 +71,43 @@ class Scene:
     sky_w: int = 1
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size",))
+def _device_build(p, n, uv, tangent, mat_id, obj_id, leaf_size):
+    """The whole device-side geometry build as ONE jitted program: BVH +
+    leaf-order gathers + tolerances + Pallas tile packing.  Eager per-op
+    dispatch here is minutes of compile round-trips at 300k+ triangles on a
+    remote-compile TPU backend; one program is one compile."""
+    from gpu_pathtracer_tpu.ops import pallas_trace
+
+    pmin = jnp.min(p, axis=1)
+    pmax = jnp.max(p, axis=1)
+    bvh = bvh_mod.build_bvh(pmin, pmax, leaf_size=leaf_size)
+    safe = jnp.maximum(bvh.order, 0)
+    valid = bvh.order >= 0
+    p_sorted = p[safe]
+    tol_sorted = intersect.triangle_tolerance(p_sorted)
+    tri_cols, tile_aabb = pallas_trace.pack_tri_cols(p_sorted, tol_sorted, valid)
+    return GeometrySet(
+        bvh=bvh,
+        p=p_sorted,
+        n=n[safe],
+        uv=uv[safe],
+        tangent=tangent[safe],
+        tol=tol_sorted,
+        mat_id=jnp.where(valid, mat_id[safe], 0).astype(jnp.int32),
+        obj_id=jnp.where(valid, obj_id[safe], -1).astype(jnp.int32),
+        valid=valid,
+        tri_cols=tri_cols,
+        tile_aabb=tile_aabb,
+        num_tris=p.shape[0],
+    )
+
+
 def _build_geometry_set(
     tri_p: np.ndarray,
     tri_n: np.ndarray,
@@ -80,38 +117,14 @@ def _build_geometry_set(
     obj_id: np.ndarray,
     leaf_size: int,
 ) -> GeometrySet:
-    import jax
-
-    p = jnp.asarray(tri_p)
-    pmin = jnp.min(p, axis=1)
-    pmax = jnp.max(p, axis=1)
-    # one jitted program: eager per-op dispatch of the Karras build's
-    # while_loops is minutes of round-trips at 300k+ triangles on TPU
-    bvh = jax.jit(
-        bvh_mod.build_bvh, static_argnames=("leaf_size",)
-    )(pmin, pmax, leaf_size=leaf_size)
-    order = np.asarray(bvh.order)  # (T,) -1 pad
-    safe = np.maximum(order, 0)
-    valid = order >= 0
-    p_sorted = jnp.asarray(tri_p[safe])
-    tol_sorted = intersect.triangle_tolerance(p_sorted)
-    valid_j = jnp.asarray(valid)
-    from gpu_pathtracer_tpu.ops import pallas_trace
-
-    tri_cols, tile_aabb = pallas_trace.pack_tri_cols(p_sorted, tol_sorted, valid_j)
-    return GeometrySet(
-        bvh=bvh,
-        p=p_sorted,
-        n=jnp.asarray(tri_n[safe]),
-        uv=jnp.asarray(tri_uv[safe]),
-        tangent=jnp.asarray(tri_tangent[safe]),
-        tol=tol_sorted,
-        mat_id=jnp.asarray(np.where(valid, mat_id[safe], 0), np.int32),
-        obj_id=jnp.asarray(np.where(valid, obj_id[safe], -1), np.int32),
-        valid=valid_j,
-        tri_cols=tri_cols,
-        tile_aabb=tile_aabb,
-        num_tris=int(tri_p.shape[0]),
+    return _device_build(
+        jnp.asarray(tri_p, jnp.float32),
+        jnp.asarray(tri_n, jnp.float32),
+        jnp.asarray(tri_uv, jnp.float32),
+        jnp.asarray(tri_tangent, jnp.float32),
+        jnp.asarray(mat_id, jnp.int32),
+        jnp.asarray(obj_id, jnp.int32),
+        leaf_size=leaf_size,
     )
 
 
@@ -147,12 +160,22 @@ def build_scene(
 
     # emissive subset -> light tree (emitter test: any vertex Ke-texture
     # nonzero, triangle.h:124-138; energy 2*pi*avgKe*area, triangle.h:112)
-    uv_v = jnp.asarray(host.tri_uv)  # (N, 3, 2)
-    mat_v = jnp.asarray(host.mat_idx, jnp.int32)[:, None]  # (N, 1)
-    ke_verts = np.asarray(
-        table.emission_color(jnp.broadcast_to(mat_v, uv_v.shape[:2]), uv_v)
-    )  # (N, 3, 3)
-    tol_np = np.asarray(intersect.triangle_tolerance(jnp.asarray(host.tri_p)))
+    @jax.jit
+    def _emission_probe(table, tri_p, tri_uv, mat_idx):
+        mat_v = mat_idx[:, None]
+        ke = table.emission_color(
+            jnp.broadcast_to(mat_v, tri_uv.shape[:2]), tri_uv
+        )
+        return ke, intersect.triangle_tolerance(tri_p)
+
+    ke_j, tol_j = _emission_probe(
+        table,
+        jnp.asarray(host.tri_p, jnp.float32),
+        jnp.asarray(host.tri_uv, jnp.float32),
+        jnp.asarray(host.mat_idx, jnp.int32),
+    )
+    ke_verts = np.asarray(ke_j)  # (N, 3, 3)
+    tol_np = np.asarray(tol_j)
     emissive = (
         np.linalg.norm(ke_verts, axis=-1) > tol_np[:, None]
     ).any(axis=1)
