@@ -178,6 +178,86 @@ def build_light_tree(
     )
 
 
+def cone_union(ax_a, t0_a, te_a, ax_b, t0_b, te_b):
+    """Orientation-cone union per Estevez-Kulla (cone_union,
+    bounding_cone.h:44-85), vectorized/branch-free over (..., 3) axes.
+
+    Returns (axis, theta_0, theta_e)."""
+    swap = t0_b > t0_a
+    ax_1 = jnp.where(swap[..., None], ax_b, ax_a)
+    ax_2 = jnp.where(swap[..., None], ax_a, ax_b)
+    t0_1 = jnp.where(swap, t0_b, t0_a)
+    t0_2 = jnp.where(swap, t0_a, t0_b)
+
+    theta_d = jnp.arccos(jnp.clip(linalg.dot(ax_1, ax_2), -1.0, 1.0))
+    new_te = jnp.maximum(te_a, te_b)
+
+    contained = jnp.minimum(theta_d + t0_2, jnp.pi) <= t0_1
+    t0_open = (t0_1 + theta_d + t0_2) / 2.0
+    full = t0_open >= jnp.pi
+
+    rot_axis = linalg.cross(ax_1, ax_2)
+    # zero rotation axis == parallel axes.  Same-direction parallels always
+    # land in `contained`; the remaining degenerate case is ANTIPODAL axes,
+    # where no finite cone about either axis covers both: full sphere.
+    degenerate = linalg.length(rot_axis) < 1e-12
+    rot_axis = jnp.where(
+        degenerate[..., None], jnp.array([1.0, 0.0, 0.0]), rot_axis
+    )
+    ax_open = linalg.rodrigues_rotate(ax_1, rot_axis, t0_open - t0_1)
+
+    axis = jnp.where((contained | full | degenerate)[..., None], ax_1, ax_open)
+    t0 = jnp.where(
+        contained,
+        t0_1,
+        jnp.where(full | (degenerate & ~contained), jnp.pi, t0_open),
+    )
+    return axis, t0, new_te
+
+
+def build_node_cones(lt: LightTree):
+    """Per-node orientation cones, bottom-up (compute_node_bounding_cones,
+    bvh_building.h:304-348): leaf cone = (avg normal, theta_0=0,
+    theta_e=pi/2) exactly like Node::assign_object (bvh.h:102-114); internal
+    cones are the union of their children's.
+
+    The reference computes these but its importance leaves the cone/
+    incidence terms commented out (bvh.h:75-86) — this framework matches
+    that behavior, so the cones are a data structure for parity (and for a
+    future cone-aware importance), not part of the sampling math.
+
+    Returns (axis (2E-1, 3), theta_0 (2E-1,), theta_e (2E-1,))."""
+    e = lt.num_lights
+    num_internal = e - 1
+    axis = jnp.concatenate(
+        [jnp.zeros((num_internal, 3)), lt.avg_normal], axis=0
+    )
+    t0 = jnp.zeros((2 * e - 1,))
+    te = jnp.concatenate(
+        [jnp.zeros((num_internal,)), jnp.full((e,), jnp.pi / 2.0)]
+    )
+    if num_internal == 0:
+        return axis, t0, te
+
+    left = lt.tree.left[:num_internal]
+    right = lt.tree.escape[left]
+
+    def body(_, carry):
+        ax, a0, ae = carry
+        ux, u0, ue = cone_union(
+            ax[left], a0[left], ae[left], ax[right], a0[right], ae[right]
+        )
+        return (
+            ax.at[:num_internal].set(ux),
+            a0.at[:num_internal].set(u0),
+            ae.at[:num_internal].set(ue),
+        )
+
+    # depth sweeps of recompute-from-children reach the fixed point (the
+    # deterministic replacement for the reference's initialized-flag race)
+    return jax.lax.fori_loop(0, lt.depth, body, (axis, t0, te))
+
+
 def leaf_energies(
     lt: LightTree,
     table,

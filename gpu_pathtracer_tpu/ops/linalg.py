@@ -98,6 +98,17 @@ def rodrigues_rotate(v: jnp.ndarray, axis: jnp.ndarray, angle: jnp.ndarray) -> j
     return v * c + cross(k, v) * s + k * dot(k, v, keepdims=True) * (1.0 - c)
 
 
+def mat3_from_rows(r0: jnp.ndarray, r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
+    """3x3 matrix as a (..., 3, 3) array from its rows (Mat3, mat3.h:11)."""
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def mat3_vec(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Mat-vec product — the only Mat3 operation the reference uses
+    (mat3.h:43): (..., 3, 3) @ (..., 3) -> (..., 3)."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
 def max_dimension(v: jnp.ndarray) -> jnp.ndarray:
     """Index of the largest-magnitude component (vec3.h:180 usage in hit)."""
     return jnp.argmax(jnp.abs(v), axis=-1)

@@ -179,6 +179,38 @@ def test_many_lights_render_sparse_vs_dense(tmp_path):
     assert rel < 0.15, (img_sparse.mean(), img_dense.mean())
 
 
+@pytest.mark.parametrize("e", [2, 9, 33])
+def test_bounding_cones_contain_leaf_normals(e):
+    """Every emitter's orientation axis must lie within the cone of every
+    ancestor node (the Estevez-Kulla union's invariant) and theta_e must be
+    the max over the subtree (pi/2 everywhere for area lights)."""
+    key = jax.random.key(200 + e)
+    lt = _random_tree(key, e)
+    # random normals (the default fixture uses one constant normal)
+    n = jax.random.normal(jax.random.fold_in(key, 5), (e, 3))
+    import dataclasses
+
+    lt = dataclasses.replace(
+        lt, avg_normal=n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    )
+    axis, t0, te = lights.build_node_cones(lt)
+    axis = np.asarray(axis)
+    t0 = np.asarray(t0)
+    te = np.asarray(te)
+    parent = np.asarray(lt.tree.parent)
+    leaf_base = e - 1
+    normals = np.asarray(lt.avg_normal)
+
+    np.testing.assert_allclose(te, np.pi / 2.0, atol=1e-6)
+    for k in range(e):
+        node = leaf_base + k
+        while node >= 0:
+            ang = np.arccos(np.clip(np.dot(axis[node], normals[k]), -1, 1))
+            # 2e-3 absorbs f32 arccos conditioning near dot == 1
+            assert ang <= t0[node] + 2e-3, (k, node, ang, t0[node])
+            node = parent[node]
+
+
 def test_pick_dense_matches_pdf_histogram():
     lt = _random_tree(jax.random.key(3), 8)
     r = 20000

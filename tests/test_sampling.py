@@ -228,3 +228,25 @@ class TestGenerateDirection:
         g = jax.grad(loss)(jnp.ones((1, 3)))
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.all(np.asarray(g) > 0)
+
+
+def test_mat3_vec():
+    """Mat3 mat-vec (mat3.h:43): rotation matrix row form vs direct."""
+    from gpu_pathtracer_tpu.ops import linalg
+
+    m = linalg.mat3_from_rows(
+        jnp.array([0.0, -1.0, 0.0]),
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.array([0.0, 0.0, 1.0]),
+    )
+    v = jnp.array([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(linalg.mat3_vec(m, v)), [-2.0, 1.0, 3.0], atol=1e-7
+    )
+    # batched
+    mb = jnp.broadcast_to(m, (5, 3, 3))
+    vb = jnp.broadcast_to(v, (5, 3))
+    np.testing.assert_allclose(
+        np.asarray(linalg.mat3_vec(mb, vb)),
+        np.tile([-2.0, 1.0, 3.0], (5, 1)), atol=1e-7,
+    )
