@@ -75,8 +75,12 @@ def pack_tri_cols(p, tol, valid, tile: int = TRI_TILE):
     return cols, aabb
 
 
-def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
-                    *, n_tiles: int, tile: int):
+def _closest_kernel(order_ref, rays_ref, tris_ref, aabb_ref,
+                    out_t_ref, out_slot_ref, *, n_tiles: int, tile: int):
+    """VMEM-resident kernel with the same front-to-back tile order +
+    early-exit bound as the big variant (see _closest_kernel_big).
+    `order_ref` is scalar-prefetched (SMEM), flat (local_blocks * NT,)."""
+    i = pl.program_id(0)
     rays = rays_ref[:]  # (RB, 8)
     rb = rays.shape[0]
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
@@ -107,8 +111,19 @@ def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, tile), 1)
 
-    def tile_body(ti, carry):
-        best_t, best_slot = carry  # (RB, 1) f32 / int32
+    # block origin box: the front-to-back lower bound is computed in-kernel
+    # (dist(block-origin-box, tile-AABB) <= any contained unit ray's entry t)
+    blo_x, bhi_x = jnp.min(ox), jnp.max(ox)
+    blo_y, bhi_y = jnp.min(oy), jnp.max(oy)
+    blo_z, bhi_z = jnp.min(oz), jnp.max(oz)
+
+    def loop_cond(carry):
+        j, best_t, best_slot = carry
+        return j < n_tiles
+
+    def tile_body(carry):
+        j, best_t, best_slot = carry  # (RB, 1) f32 / int32
+        ti = order_ref[i * n_tiles + j]
 
         # block-level cull: does ANY ray's slab hit this tile's AABB?
         box = aabb_ref[pl.ds(ti, 1), :]  # (1, 8)
@@ -118,6 +133,23 @@ def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
         bmax_x = box[0:1, 3:4]
         bmax_y = box[0:1, 4:5]
         bmax_z = box[0:1, 5:6]
+
+        # Chebyshev lower bound on any ray's entry t into this tile; the
+        # host sorted tiles by the SAME formula (exact IEEE max/sub, so the
+        # values agree bit-for-bit) — once it stops improving, no later
+        # tile can either, and the loop exits
+        lb = jnp.max(
+            jnp.maximum(
+                jnp.maximum(
+                    jnp.maximum(bmin_x - bhi_x, blo_x - bmax_x),
+                    jnp.maximum(bmin_y - bhi_y, blo_y - bmax_y),
+                ),
+                jnp.maximum(
+                    jnp.maximum(bmin_z - bhi_z, blo_z - bmax_z), 0.0
+                ),
+            )
+        )
+        improve = lb < jnp.max(best_t)
         t0x = (bmin_x - ox) * inv_dx
         t1x = (bmax_x - ox) * inv_dx
         t0y = (bmin_y - oy) * inv_dy
@@ -132,7 +164,12 @@ def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+        # max(tlo, 0) is the tightest entry bound (hits need t >= tol > 0);
+        # it also makes a dead ray's t-budget of -1 cull every tile even
+        # when its origin sits inside the tile AABB (negative tlo)
+        any_hit = improve & jnp.any(
+            (thi >= tlo) & (thi > 0.0) & (jnp.maximum(tlo, 0.0) < best_t)
+        )
 
         def compute(carry):
             best_t, best_slot = carry
@@ -178,25 +215,40 @@ def _closest_kernel(rays_ref, tris_ref, aabb_ref, out_t_ref, out_slot_ref,
             best_slot = jnp.where(better, ti * tile + k, best_slot)
             return best_t, best_slot
 
-        return jax.lax.cond(any_hit, compute, lambda c: c, (best_t, best_slot))
+        best_t, best_slot = jax.lax.cond(
+            any_hit, compute, lambda c: c, (best_t, best_slot)
+        )
+        j_next = jnp.where(improve, j + 1, jnp.int32(n_tiles))
+        return j_next, best_t, best_slot
 
     best_t0 = jnp.minimum(jnp.full((rb, 1), _INF), t_cap)
     best_slot0 = jnp.full((rb, 1), -1, jnp.int32)
-    best_t, best_slot = jax.lax.fori_loop(
-        0, n_tiles, tile_body, (best_t0, best_slot0)
+    _, best_t, best_slot = jax.lax.while_loop(
+        loop_cond, tile_body, (jnp.int32(0), best_t0, best_slot0)
     )
     out_t_ref[:] = best_t
     out_slot_ref[:] = best_slot
 
 
-def _closest_kernel_big(rays_ref, aabb_ref, tris_hbm, out_t_ref, out_slot_ref,
-                        scratch_ref, sem_ref, *, n_tiles: int, tile: int):
+def _closest_kernel_big(order_ref, rays_ref, aabb_ref, tris_hbm,
+                        out_t_ref, out_slot_ref, scratch_ref, sem_ref,
+                        *, n_tiles: int, tile: int):
     """HBM-resident variant: triangle tiles stay in HBM and are DMA'd into a
     VMEM scratch tile ONLY when the block-level AABB cull passes — VMEM holds
     just the per-tile AABBs (32 B/tile) + one scratch tile, so the triangle
     count is bounded by HBM, not VMEM (the resident kernel caps at
-    PALLAS_MAX = 8 MB of VMEM).  With Morton-ordered tiles and
-    coherence-sorted rays, a block DMAs only the tiles its rays walk."""
+    PALLAS_MAX = 8 MB of VMEM).
+
+    Front-to-back + early exit: `order_ref` (scalar-prefetched SMEM, flat
+    (local_blocks * NT,)) gives each block's tiles sorted by
+    dist(block-origin-box, tile-AABB) — an exact lower bound on any
+    contained *unit-direction* ray's entry t.  The bound is recomputed
+    in-kernel per visited tile (exact IEEE max/sub, so it agrees with the
+    host's sort key bit-for-bit); the while_loop stops as soon as it
+    exceeds every ray's best_t: only the tiles around each hit are ever
+    DMA'd or pair-tested.  The wrapper chunks the grid so the SMEM table
+    stays bounded."""
+    i = pl.program_id(0)
     rays = rays_ref[:]  # (RB, 8)
     rb = rays.shape[0]
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
@@ -225,16 +277,43 @@ def _closest_kernel_big(rays_ref, aabb_ref, tris_hbm, out_t_ref, out_slot_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, tile), 1)
 
-    def tile_body(ti, carry):
-        best_t, best_slot = carry
+    blo_x, bhi_x = jnp.min(ox), jnp.max(ox)
+    blo_y, bhi_y = jnp.min(oy), jnp.max(oy)
+    blo_z, bhi_z = jnp.min(oz), jnp.max(oz)
+
+    def loop_cond(carry):
+        j, best_t, best_slot = carry
+        return j < n_tiles
+
+    def tile_body(carry):
+        j, best_t, best_slot = carry
+        ti = order_ref[i * n_tiles + j]
 
         box = aabb_ref[pl.ds(ti, 1), :]
-        t0x = (box[0:1, 0:1] - ox) * inv_dx
-        t1x = (box[0:1, 3:4] - ox) * inv_dx
-        t0y = (box[0:1, 1:2] - oy) * inv_dy
-        t1y = (box[0:1, 4:5] - oy) * inv_dy
-        t0z = (box[0:1, 2:3] - oz) * inv_dz
-        t1z = (box[0:1, 5:6] - oz) * inv_dz
+        bmin_x = box[0:1, 0:1]
+        bmin_y = box[0:1, 1:2]
+        bmin_z = box[0:1, 2:3]
+        bmax_x = box[0:1, 3:4]
+        bmax_y = box[0:1, 4:5]
+        bmax_z = box[0:1, 5:6]
+        lb = jnp.max(
+            jnp.maximum(
+                jnp.maximum(
+                    jnp.maximum(bmin_x - bhi_x, blo_x - bmax_x),
+                    jnp.maximum(bmin_y - bhi_y, blo_y - bmax_y),
+                ),
+                jnp.maximum(
+                    jnp.maximum(bmin_z - bhi_z, blo_z - bmax_z), 0.0
+                ),
+            )
+        )
+        improve = lb < jnp.max(best_t)
+        t0x = (bmin_x - ox) * inv_dx
+        t1x = (bmax_x - ox) * inv_dx
+        t0y = (bmin_y - oy) * inv_dy
+        t1y = (bmax_y - oy) * inv_dy
+        t0z = (bmin_z - oz) * inv_dz
+        t1z = (bmax_z - oz) * inv_dz
         tlo = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.minimum(t0z, t1z),
@@ -243,7 +322,12 @@ def _closest_kernel_big(rays_ref, aabb_ref, tris_hbm, out_t_ref, out_slot_ref,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+        # max(tlo, 0) is the tightest entry bound (hits need t >= tol > 0);
+        # it also makes a dead ray's t-budget of -1 cull every tile even
+        # when its origin sits inside the tile AABB (negative tlo)
+        any_hit = improve & jnp.any(
+            (thi >= tlo) & (thi > 0.0) & (jnp.maximum(tlo, 0.0) < best_t)
+        )
 
         @pl.when(any_hit)
         def _():
@@ -297,15 +381,48 @@ def _closest_kernel_big(rays_ref, aabb_ref, tris_hbm, out_t_ref, out_slot_ref,
             best_slot = jnp.where(better, ti * tile + k, best_slot)
             return best_t, best_slot
 
-        return jax.lax.cond(any_hit, compute, lambda c: c, (best_t, best_slot))
+        best_t, best_slot = jax.lax.cond(
+            any_hit, compute, lambda c: c, (best_t, best_slot)
+        )
+        j_next = jnp.where(improve, j + 1, jnp.int32(n_tiles))
+        return j_next, best_t, best_slot
 
     best_t0 = jnp.minimum(jnp.full((rb, 1), _INF), t_cap)
     best_slot0 = jnp.full((rb, 1), -1, jnp.int32)
-    best_t, best_slot = jax.lax.fori_loop(
-        0, n_tiles, tile_body, (best_t0, best_slot0)
+    _, best_t, best_slot = jax.lax.while_loop(
+        loop_cond, tile_body, (jnp.int32(0), best_t0, best_slot0)
     )
     out_t_ref[:] = best_t
     out_slot_ref[:] = best_slot
+
+
+def _smem_blocks(n_tiles: int) -> int:
+    """Grid-chunk size keeping the scalar-prefetched order table within
+    ~800 KB of the 1 MB SMEM budget."""
+    return max(1, 200_000 // n_tiles)
+
+
+def _block_tile_order(rays, tile_aabb, n_blocks: int):
+    """Per ray-block front-to-back tile order.
+
+    For unit directions, a ray's slab entry t into a tile AABB is >= the
+    Chebyshev (L-inf) distance from its origin to the box, which is >= the
+    distance from the block's origin bounding box to the tile box — an
+    exact, conservative early-exit bound (the kernels recompute the same
+    quantity per visited tile and stop once it can no longer improve any
+    ray's best_t).  Returns the (n_blocks, NT) int32 tile order.
+    """
+    o_blocks = rays[:, 0:3].reshape(n_blocks, -1, 3)
+    b_lo = jnp.min(o_blocks, axis=1)  # (B, 3)
+    b_hi = jnp.max(o_blocks, axis=1)
+    t_lo = tile_aabb[:, 0:3]  # (NT, 3)
+    t_hi = tile_aabb[:, 3:6]
+    gap = jnp.maximum(
+        t_lo[None, :, :] - b_hi[:, None, :],
+        b_lo[:, None, :] - t_hi[None, :, :],
+    )
+    lb = jnp.max(jnp.maximum(gap, 0.0), axis=-1)  # (B, NT) L-inf, no overflow
+    return jnp.argsort(lb, axis=1).astype(jnp.int32)  # (B, NT)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -314,31 +431,54 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
     n_tiles = tri_cols.shape[0]
     tile = tri_cols.shape[2]
     n_blocks = r // RAY_BLOCK
+    order = _block_tile_order(rays, tile_aabb, n_blocks)
     kernel = functools.partial(_closest_kernel_big, n_tiles=n_tiles, tile=tile)
-    out_t, out_slot = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (RAY_BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+    outs_t, outs_slot = [], []
+    for c0 in range(0, n_blocks, _smem_blocks(n_tiles)):
+        nb = min(_smem_blocks(n_tiles), n_blocks - c0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_BLOCK, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs (small)
+                pl.BlockSpec(memory_space=pl.ANY),  # tri SoA stays in HBM
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs (small)
-            pl.BlockSpec(memory_space=pl.ANY),  # tri SoA stays in HBM
-        ],
-        out_specs=(
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((16, tile), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(rays, tile_aabb, tri_cols)
+            scratch_shapes=[
+                pltpu.VMEM((16, tile), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        o_t, o_s = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(
+            order[c0 : c0 + nb].reshape(-1),
+            rays[c0 * RAY_BLOCK : (c0 + nb) * RAY_BLOCK],
+            tile_aabb,
+            tri_cols,
+        )
+        outs_t.append(o_t)
+        outs_slot.append(o_s)
+    out_t = outs_t[0] if len(outs_t) == 1 else jnp.concatenate(outs_t)
+    out_slot = (
+        outs_slot[0] if len(outs_slot) == 1 else jnp.concatenate(outs_slot)
+    )
     return out_t[:, 0], out_slot[:, 0]
 
 
@@ -347,29 +487,52 @@ def _closest_call(tri_cols, tile_aabb, rays, *, interpret: bool):
     r = rays.shape[0]
     n_tiles = tri_cols.shape[0]
     n_blocks = r // RAY_BLOCK
+    order = _block_tile_order(rays, tile_aabb, n_blocks)
     kernel = functools.partial(
         _closest_kernel, n_tiles=n_tiles, tile=tri_cols.shape[2]
     )
-    out_t, out_slot = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (RAY_BLOCK, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+    outs_t, outs_slot = [], []
+    for c0 in range(0, n_blocks, _smem_blocks(n_tiles)):
+        nb = min(_smem_blocks(n_tiles), n_blocks - c0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_BLOCK, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri SoA
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri SoA
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs
-        ],
-        out_specs=(
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1), jnp.int32),
-        ),
-        interpret=interpret,
-    )(rays, tri_cols, tile_aabb)
+        )
+        o_t, o_s = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(
+            order[c0 : c0 + nb].reshape(-1),
+            rays[c0 * RAY_BLOCK : (c0 + nb) * RAY_BLOCK],
+            tri_cols,
+            tile_aabb,
+        )
+        outs_t.append(o_t)
+        outs_slot.append(o_s)
+    out_t = outs_t[0] if len(outs_t) == 1 else jnp.concatenate(outs_t)
+    out_slot = (
+        outs_slot[0] if len(outs_slot) == 1 else jnp.concatenate(outs_slot)
+    )
     return out_t[:, 0], out_slot[:, 0]
 
 

@@ -171,10 +171,18 @@ def occluded_dense(
 PALLAS_MAX = int(os.environ.get("GPT_TPU_PALLAS_MAX", "131072"))
 # sort rays for traversal coherence above this batch size (0 disables)
 RAY_SORT_MIN = int(os.environ.get("GPT_TPU_RAY_SORT_MIN", "8192"))
+# ... and only when the scene has at least this many triangle tiles.  NOTE:
+# the sort pays for itself even at 2 tiles — coherent blocks converge best_t
+# fast enough for the (tlo < best_t) cull to skip tiles that a shuffled
+# block never could (measured on the 972-tri Cornell render: sorted 7.9M
+# rays/s vs unsorted 5.3M, despite the sort's own ~1.9ms/64k-ray cost)
+RAY_SORT_MIN_TILES = int(os.environ.get("GPT_TPU_RAY_SORT_MIN_TILES", "2"))
 
 
-def _coherence_perm(g, origin, direction):
-    """Permutation putting rays in (direction-octant, origin-Morton) order.
+def _coherence_perm(g, origin, direction, live=None):
+    """Permutation putting rays in (live, direction-octant, origin-Morton)
+    order; dead rays sort last so they fill dead-only blocks whose t-budget
+    of -1 makes the kernel's tile cull skip ALL pair work.
 
     After the first bounce, wavefront rays are spatially incoherent, so the
     Pallas kernel's per-block tile cull almost never fires (a 256-ray block
@@ -200,8 +208,10 @@ def _coherence_perm(g, origin, direction):
         + morton.expand_bits(q[:, 1]) * 2
         + morton.expand_bits(q[:, 2])
     )
-    key = ((octant << 18) | m).astype(jnp.int32)
-    return jnp.argsort(key)
+    key = (octant << 18) | m
+    if live is not None:
+        key = key | jnp.where(live, jnp.uint32(0), jnp.uint32(1) << 21)
+    return jnp.argsort(key.astype(jnp.int32))
 
 
 def _use_dense(g) -> bool:
@@ -223,38 +233,45 @@ def _pallas_big(g) -> bool:
     return g.p.shape[0] > PALLAS_MAX
 
 
-def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
+def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf, live=None):
     """Pallas closest hit with coherence-sorted rays (see _coherence_perm).
 
     Batches below RAY_SORT_MIN (or single-tile scenes) skip the sort — the
-    cull can't win anything there.  Returns (t, slot, hit) in the CALLER's
-    ray order.
+    cull can't win anything there.  `live` (optional bool mask) marks rays
+    whose result is unused this step: they are sorted into dead-only blocks
+    and given a t-budget of -1, so the kernel culls all their tile work.
+    Returns (t, slot, hit) in the CALLER's ray order (dead rays miss).
     """
     from gpu_pathtracer_tpu.ops import pallas_trace
 
     r = origin.shape[0]
     big = _pallas_big(g)
+    # normalize BEFORE the per-ray check: a numpy array / Python list t_max
+    # would otherwise skip the permutation and clip each ray with another
+    # ray's budget
+    t_max = jnp.asarray(t_max, jnp.float32)
+    if live is not None:
+        t_max = jnp.where(live, t_max, -1.0)
     sort = (
         RAY_SORT_MIN > 0
         and r >= RAY_SORT_MIN
-        and g.tri_cols.shape[0] > 1  # single-tile scenes: nothing to cull
+        and g.tri_cols.shape[0] >= RAY_SORT_MIN_TILES
     )
     if not sort:
         return pallas_trace.closest_hit_pallas(
             g.tri_cols, g.tile_aabb, origin, direction, t_max, big=big
         )
-    perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction))
+    perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction, live))
     o_s = jnp.take(origin, perm, axis=0)
     d_s = jnp.take(direction, perm, axis=0)
-    # normalize BEFORE the per-ray check: a numpy array / Python list t_max
-    # would otherwise skip the permutation and clip each ray with another
-    # ray's budget
-    t_max = jnp.asarray(t_max, jnp.float32)
     tm_s = jnp.take(t_max, perm, axis=0) if t_max.ndim > 0 else t_max
     t, slot, hit = pallas_trace.closest_hit_pallas(
         g.tri_cols, g.tile_aabb, o_s, d_s, tm_s, big=big
     )
-    inv = jnp.argsort(perm)
+    # inverse permutation by scatter: O(R), vs a second O(R log R) argsort
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(r, dtype=perm.dtype), unique_indices=True
+    )
     return (
         jnp.take(t, inv, axis=0),
         jnp.take(slot, inv, axis=0),
@@ -262,10 +279,17 @@ def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf):
     )
 
 
-def closest_hit(g, origin, direction, t_max=jnp.inf):
-    """Closest hit against a GeometrySet (strategy picked by scene size)."""
+def closest_hit(g, origin, direction, t_max=jnp.inf, live=None):
+    """Closest hit against a GeometrySet (strategy picked by scene size).
+
+    `live` is a performance hint: rays with live=False may return miss
+    without doing work (the Pallas path culls them; other paths ignore the
+    mask, so callers must still gate results on their own live mask).
+    """
     if _use_pallas(g):
-        t, slot, hit = closest_hit_pallas_sorted(g, origin, direction, t_max)
+        t, slot, hit = closest_hit_pallas_sorted(
+            g, origin, direction, t_max, live
+        )
         bary = winner_bary(g.p, g.tol, origin, direction, slot, hit)
         return t, slot, bary, hit
     if _use_dense(g):

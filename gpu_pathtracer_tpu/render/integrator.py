@@ -173,7 +173,9 @@ def trace_paths(
 
     def bounce(state, i):
         bkey = jax.random.fold_in(key, i)
-        t, slot, bary, hit = trace.closest_hit(g, state["o"], state["d"])
+        t, slot, bary, hit = trace.closest_hit(
+            g, state["o"], state["d"], live=state["live"]
+        )
         hit = hit & state["live"]
 
         point, uv, normal, mat_id = interpolate_hit(

@@ -300,8 +300,34 @@ def photon_pass(
         d_samp = sample_propagation_distance(
             table, medium, jax.random.fold_in(skey, 1)
         )
-        # traverse the BSDF ray (used by march decision AND normal advance)
-        t_next, slot_next, bary_next, hit_next = trace.closest_hit(g, ref.origin, ref.dir)
+
+        # MARCH-phase proposal ray (state + RNG only, so it can be computed
+        # before the traversal; consumed by the MARCH section below)
+        u_sc = jax.random.uniform(jax.random.fold_in(skey, 3), p_shape)
+        p_s = scattering_prob(table, medium)
+        deposit_vol = march & (u_sc < p_s)
+        keep_march = march & ~deposit_vol
+        hg_dir = sample_hg_direction(
+            table, medium, st["m_d"], jax.random.fold_in(skey, 4)
+        )
+        d_new = sample_propagation_distance(
+            table, medium, jax.random.fold_in(skey, 5)
+        )
+        # move by the NEW distance along the OLD direction, then turn
+        # (photon_pass.h:191-194, faithful to the reference's ordering)
+        o_new = st["m_o"] + d_new[..., None] * st["m_d"]
+
+        # ONE merged traversal per step: a photon is in exactly one phase
+        # (SURF tests its BSDF ray, MARCH its HG ray), so select per photon
+        # instead of paying two full closest-hit queries
+        q_o = jnp.where(march[..., None], o_new, ref.origin)
+        q_d = jnp.where(march[..., None], hg_dir, ref.dir)
+        t_q, slot_q, bary_q, hit_q = trace.closest_hit(
+            g, q_o, q_d, live=st["alive"] & ~deposit_vol
+        )
+        pt_q, uv_q, nrm_q, mat_q = interpolate_hit(g, table, slot_q, bary_q)
+
+        t_next, slot_next, hit_next = t_q, slot_q, hit_q  # SURF view
         t_for_march = jnp.where(hit_next, t_next, jnp.inf)
         march_now = want_march & (d_samp - t_for_march < SMALL_EPS)
         dcs = jnp.where(want_march & ~march_now, True, st["dcs"])
@@ -323,9 +349,7 @@ def photon_pass(
 
         # advance to the next surface (skipped when entering a march)
         advance = surf & ~march_now & ~absorbed
-        pt_n, uv_n, nrm_n, mat_n = interpolate_hit(
-            g, table, slot_next, bary_next
-        )
+        pt_n, uv_n, nrm_n, mat_n = pt_q, uv_q, nrm_q, mat_q
         prev = jnp.where(advance[..., None], st["pt"], st["prev"])
         new_pt = jnp.where(advance[..., None], pt_n, st["pt"])
         new_nrm = jnp.where(advance[..., None], nrm_n, st["nrm"])
@@ -342,36 +366,20 @@ def photon_pass(
         m_dsamp = jnp.where(march_now, d_samp, st["m_dsamp"])
         m_t = jnp.where(march_now, t_for_march, st["m_t"])
         m_pt = jnp.where(march_now[..., None], pt_n, st["m_pt"])
-        m_slot = slot_next  # only consumed on march exit below
         phase = jnp.where(march_now, PH_MARCH, st["phase"])
         scattered_ever = st["scattered_ever"] | march_now
 
-        # ---------------- MARCH step ----------------
-        u_sc = jax.random.uniform(jax.random.fold_in(skey, 3), p_shape)
-        p_s = scattering_prob(table, medium)
-        deposit_vol = march & (u_sc < p_s)
-        keep_march = march & ~deposit_vol
-        hg_dir = sample_hg_direction(
-            table, medium, m_d, jax.random.fold_in(skey, 4)
-        )
-        d_new = sample_propagation_distance(
-            table, medium, jax.random.fold_in(skey, 5)
-        )
-        # move by the NEW distance along the OLD direction, then turn
-        # (photon_pass.h:191-194, faithful to the reference's ordering)
-        o_new = m_o + d_new[..., None] * m_d
+        # ---------------- MARCH step (traversal done above, merged) --------
+        hit_m = hit_q  # MARCH view of the merged query
         prev = jnp.where(keep_march[..., None], m_pt, prev)
-        t_m, slot_m, bary_m, hit_m = trace.closest_hit(g, o_new, hg_dir)
-        t_m_eff = jnp.where(hit_m, t_m, jnp.inf)
+        t_m_eff = jnp.where(hit_m, t_q, jnp.inf)
         still = keep_march & (d_new - t_m_eff < SMALL_EPS)
         exit_march = keep_march & ~still
 
         m_o = jnp.where(keep_march[..., None], o_new, m_o)
         m_d = jnp.where(keep_march[..., None], hg_dir, m_d)
         m_dsamp = jnp.where(keep_march, d_new, m_dsamp)
-        mp_new, muv_new, mnrm_new, mmat_new = interpolate_hit(
-            g, table, slot_m, bary_m
-        )
+        mp_new, muv_new, mnrm_new, mmat_new = pt_q, uv_q, nrm_q, mat_q
         m_pt = jnp.where(keep_march[..., None], mp_new, m_pt)
 
         # march exit -> the surface hit becomes the next interaction
@@ -855,7 +863,9 @@ def _direct_radiance_chain(
     )
 
     def body(i, st):
-        t, slot, bary, hit = trace.closest_hit(g, st["o"], st["d"])
+        t, slot, bary, hit = trace.closest_hit(
+            g, st["o"], st["d"], live=st["live"]
+        )
         live = st["live"] & hit
         pt, uv, nrm, mat = interpolate_hit(g, table, slot, bary)
         ref2 = materials.sample_bsdf(
@@ -991,7 +1001,9 @@ def eye_pass(
 
     def body(st):
         bkey = jax.random.fold_in(key, 50 + st["step"])
-        t, slot, bary, hit = trace.closest_hit(g, st["o"], st["d"])
+        t, slot, bary, hit = trace.closest_hit(
+            g, st["o"], st["d"], live=st["live"]
+        )
         live = st["live"] & hit
         pt, uv, nrm, mat = interpolate_hit(g, table, slot, bary)
         ref = materials.sample_bsdf(

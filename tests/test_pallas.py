@@ -60,3 +60,44 @@ def test_pallas_t_max_and_padding():
     )
     np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_p))
     np.testing.assert_array_equal(np.asarray(slot_ref), np.asarray(slot_p))
+
+
+def test_pallas_sorted_live_mask(monkeypatch):
+    """closest_hit_pallas_sorted with a live mask: live rays match the dense
+    oracle, dead rays (t-budget -1, sorted into dead blocks) return miss."""
+    from types import SimpleNamespace
+
+    monkeypatch.setattr(trace, "RAY_SORT_MIN", 64)
+    key = jax.random.key(11)
+    n, r = 1300, 384
+    tris = _random_tris(key, n)
+    tol = intersect.triangle_tolerance(tris)
+    valid = jnp.ones((n,), bool)
+    cols, aabb = pallas_trace.pack_tri_cols(tris, tol, valid)
+    g = SimpleNamespace(
+        p=tris, tol=tol, valid=valid, tri_cols=cols, tile_aabb=aabb
+    )
+
+    o = jax.random.uniform(jax.random.fold_in(key, 2), (r, 3), minval=-3, maxval=3)
+    d = jax.random.normal(jax.random.fold_in(key, 3), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    live = jax.random.bernoulli(jax.random.fold_in(key, 4), 0.6, (r,))
+
+    t_ref, slot_ref, _, hit_ref = trace.closest_hit_dense(tris, tol, valid, o, d)
+    t_s, slot_s, hit_s = trace.closest_hit_pallas_sorted(g, o, d, live=live)
+
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(hit_ref)[lv], np.asarray(hit_s)[lv])
+    np.testing.assert_array_equal(np.asarray(slot_ref)[lv], np.asarray(slot_s)[lv])
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[lv & np.asarray(hit_ref)],
+        np.asarray(t_s)[lv & np.asarray(hit_ref)],
+        rtol=1e-5, atol=1e-6,
+    )
+    assert not np.asarray(hit_s)[~lv].any()
+    assert (np.asarray(slot_s)[~lv] == -1).all()
+
+    # without a mask the sorted path must equal the dense oracle exactly
+    t_a, slot_a, hit_a = trace.closest_hit_pallas_sorted(g, o, d)
+    np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_a))
+    np.testing.assert_array_equal(np.asarray(slot_ref), np.asarray(slot_a))
