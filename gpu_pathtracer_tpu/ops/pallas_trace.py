@@ -558,6 +558,32 @@ def closest_hit_pallas(
     t_max_b = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), (r,)
     ).astype(jnp.float32)
+
+    # cap every ray's t-budget at its scene-root-box exit: a triangle hit
+    # can only happen inside the root box, so t <= slab exit there.  Miss
+    # rays get a finite best_t instead of INF, which lets the kernels'
+    # front-to-back early exit fire for them too; rays that miss the root
+    # box outright get a -1 budget (all tile work culled).
+    root_lo = jnp.min(tile_aabb[:, 0:3], axis=0)
+    root_hi = jnp.max(
+        jnp.where(
+            tile_aabb[:, 3:6] >= tile_aabb[:, 0:3],  # skip inverted pad tiles
+            tile_aabb[:, 3:6],
+            -jnp.inf,
+        ),
+        axis=0,
+    )
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-20, 1e-20, direction)
+    ta = (root_lo[None, :] - origin) * inv_d
+    tb = (root_hi[None, :] - origin) * inv_d
+    root_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    root_entry = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    hits_root = (root_exit >= root_entry) & (root_exit > 0.0)
+    t_max_b = jnp.where(
+        hits_root,
+        jnp.minimum(t_max_b, root_exit * 1.0001 + 1e-4),
+        -1.0,
+    )
     rays = jnp.concatenate(
         [
             origin,

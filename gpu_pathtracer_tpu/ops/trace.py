@@ -208,7 +208,12 @@ def _coherence_perm(g, origin, direction, live=None):
         + morton.expand_bits(q[:, 1]) * 2
         + morton.expand_bits(q[:, 2])
     )
-    key = (octant << 18) | m
+    if os.environ.get("GPT_TPU_SORT_ORIGIN_MAJOR", "1") != "0":
+        # origin-major: tight per-block origin boxes -> stronger
+        # front-to-back lower bounds in the Pallas kernels
+        key = (m << 3) | octant
+    else:
+        key = (octant << 18) | m
     if live is not None:
         key = key | jnp.where(live, jnp.uint32(0), jnp.uint32(1) << 21)
     return jnp.argsort(key.astype(jnp.int32))
