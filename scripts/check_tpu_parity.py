@@ -1,0 +1,72 @@
+"""TPU parity check: the Mosaic-compiled Pallas traversal must render the
+same image as the non-Pallas (threaded-BVH / dense) path on the real chip.
+
+Interpret-mode unit tests can't catch Mosaic-specific miscompiles; this
+drives the full renderer twice in subprocesses (the Pallas switch is read
+per call, but jit caching makes in-process toggling unreliable) and
+compares.  Exit code 0 = allclose.
+"""
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+CHILD = r"""
+import sys, tempfile, numpy as np
+sys.path.insert(0, %(root)r)
+import jax
+from gpu_pathtracer_tpu.utils.platform import apply_platform_env
+apply_platform_env()
+from gpu_pathtracer_tpu.models.camera import Camera
+from gpu_pathtracer_tpu.models.scene import build_scene
+from gpu_pathtracer_tpu.render import render_image
+from gpu_pathtracer_tpu.utils import testscenes
+from gpu_pathtracer_tpu.utils.obj_io import load_scene
+
+folder = tempfile.mkdtemp()
+testscenes.make_cornell_box(folder, spheres=True, sphere_subdiv=2)
+scene = build_scene(load_scene(folder, "box.obj"))
+cam = Camera.create(eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
+                    fovy_deg=40.0, width=64, height=64)
+img = render_image(scene, cam, jax.random.key(7), width=64, height=64,
+                   sample_size=4, level=6, hittable_pdf_weight=0.5)
+np.save(%(out)r, np.asarray(img))
+print("backend:", jax.default_backend())
+"""
+
+root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(disable_pallas: bool, out: str):
+    env = dict(os.environ)
+    if disable_pallas:
+        env["GPT_TPU_DISABLE_PALLAS"] = "1"
+    else:
+        env.pop("GPT_TPU_DISABLE_PALLAS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", CHILD % {"root": root, "out": out}],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    if r.returncode != 0:
+        print(r.stderr[-2000:])
+        sys.exit(2)
+
+
+with tempfile.TemporaryDirectory() as td:
+    a, b = os.path.join(td, "pallas.npy"), os.path.join(td, "bvh.npy")
+    run(False, a)
+    run(True, b)
+    ia, ib = np.load(a), np.load(b)
+    diff = np.abs(ia - ib)
+    print(f"max|diff|={diff.max():.3e} mean|diff|={diff.mean():.3e} "
+          f"img mean={ia.mean():.4f}")
+    # identical RNG + identical estimator; only the traversal differs, so
+    # images must agree to fp tolerance (tie-breaks on coplanar tris may
+    # differ on a handful of pixels)
+    frac_off = (diff.max(axis=-1) > 1e-3).mean()
+    print(f"pixels off by >1e-3: {frac_off*100:.3f}%")
+    ok = frac_off < 0.005
+    print("PARITY OK" if ok else "PARITY FAIL")
+    sys.exit(0 if ok else 1)
