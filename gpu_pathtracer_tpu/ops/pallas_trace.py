@@ -396,6 +396,197 @@ def _closest_kernel_big(order_ref, rays_ref, aabb_ref, tris_hbm,
     out_slot_ref[:] = best_slot
 
 
+def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
+                             out_t_ref, out_slot_ref, scratch_ref, sem_ref,
+                             *, n_tiles: int, tile: int):
+    """Double-buffered variant of _closest_kernel_big: tile j+1's DMA is
+    started (into the other scratch slot) before tile j's pair compute, so
+    HBM latency overlaps the VPU work.  The prefetch decision for j+1 uses
+    the best_t from before tile j's update — conservative (best_t only
+    shrinks), so at worst one extra tile is fetched, never one missed.
+    Every started DMA is waited exactly once: the start decision (`ah`)
+    rides the loop carry to the consuming iteration."""
+    i = pl.program_id(0)
+    rays = rays_ref[:]  # (RB, 8)
+    rb = rays.shape[0]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx_, dy_, dz_ = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    t_cap = rays[:, 6:7]
+
+    ax, ay, az = jnp.abs(dx_), jnp.abs(dy_), jnp.abs(dz_)
+    is2 = (az >= ax) & (az >= ay)
+    is1 = (~is2) & (ay >= ax)
+    is0 = ~(is1 | is2)
+
+    def perm(vx, vy, vz):
+        x = jnp.where(is0, vy, jnp.where(is1, vz, vx))
+        y = jnp.where(is0, vz, jnp.where(is1, vx, vy))
+        z = jnp.where(is0, vx, jnp.where(is1, vy, vz))
+        return x, y, z
+
+    dx, dy, dz = perm(dx_, dy_, dz_)
+    sx = -dx / dz
+    sy = -dy / dz
+    sz = 1.0 / dz
+
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx_) < 1e-20, 1e-20, dx_)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy_) < 1e-20, 1e-20, dy_)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz_) < 1e-20, 1e-20, dz_)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, tile), 1)
+
+    blo_x, bhi_x = jnp.min(ox), jnp.max(ox)
+    blo_y, bhi_y = jnp.min(oy), jnp.max(oy)
+    blo_z, bhi_z = jnp.min(oz), jnp.max(oz)
+
+    def read_box(ti):
+        box = aabb_ref[pl.ds(ti, 1), :]
+        return (box[0:1, 0:1], box[0:1, 1:2], box[0:1, 2:3],
+                box[0:1, 3:4], box[0:1, 4:5], box[0:1, 5:6])
+
+    def tile_lb(b):
+        bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z = b
+        return jnp.max(
+            jnp.maximum(
+                jnp.maximum(
+                    jnp.maximum(bmin_x - bhi_x, blo_x - bmax_x),
+                    jnp.maximum(bmin_y - bhi_y, blo_y - bmax_y),
+                ),
+                jnp.maximum(
+                    jnp.maximum(bmin_z - bhi_z, blo_z - bmax_z), 0.0
+                ),
+            )
+        )
+
+    def slab_any(b, best_t):
+        bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z = b
+        t0x = (bmin_x - ox) * inv_dx
+        t1x = (bmax_x - ox) * inv_dx
+        t0y = (bmin_y - oy) * inv_dy
+        t1y = (bmax_y - oy) * inv_dy
+        t0z = (bmin_z - oz) * inv_dz
+        t1z = (bmax_z - oz) * inv_dz
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        return jnp.any(
+            (thi >= tlo) & (thi > 0.0) & (jnp.maximum(tlo, 0.0) < best_t)
+        )
+
+    def probe(jn, best_t):
+        """Would tile order[jn] need pair work (with the CURRENT best_t)?"""
+        ti = order_ref[i * n_tiles + jnp.minimum(jn, n_tiles - 1)]
+        b = read_box(ti)
+        ok = (
+            (jn < n_tiles)
+            & (tile_lb(b) < jnp.max(best_t))
+            & slab_any(b, best_t)
+        )
+        return ok, ti
+
+    def start_dma(ti, slot):
+        pltpu.make_async_copy(
+            tris_hbm.at[ti], scratch_ref.at[slot], sem_ref.at[slot]
+        ).start()
+
+    best_t0 = jnp.minimum(jnp.full((rb, 1), _INF), t_cap)
+    best_slot0 = jnp.full((rb, 1), -1, jnp.int32)
+
+    ah0, ti0 = probe(jnp.int32(0), best_t0)
+
+    @pl.when(ah0)
+    def _():
+        start_dma(ti0, 0)
+
+    def loop_cond(carry):
+        j, ah, ti_cur, best_t, best_slot = carry
+        return j < n_tiles
+
+    def tile_body(carry):
+        j, ah, ti_cur, best_t, best_slot = carry
+        b = read_box(ti_cur)
+        improve = tile_lb(b) < jnp.max(best_t)
+
+        # prefetch tile j+1 into the other slot while j computes below;
+        # suppressed when exiting so no DMA is left in flight
+        ah_next, ti_next = probe(j + 1, best_t)
+        ah_next = ah_next & improve
+
+        @pl.when(ah_next)
+        def _():
+            start_dma(ti_next, (j + 1) % 2)
+
+        # consume tile j (wait pairs exactly with the start that set `ah`)
+        @pl.when(ah)
+        def _():
+            pltpu.make_async_copy(
+                tris_hbm.at[ti_cur], scratch_ref.at[j % 2], sem_ref.at[j % 2]
+            ).wait()
+
+        def compute(carry):
+            best_t, best_slot = carry
+            tv = scratch_ref[j % 2]  # (16, TK)
+            tri_tol = tv[9:10, :]
+
+            def corner(c):
+                vx = tv[3 * c + 0 : 3 * c + 1, :] - ox
+                vy = tv[3 * c + 1 : 3 * c + 2, :] - oy
+                vz = tv[3 * c + 2 : 3 * c + 3, :] - oz
+                px, py, pz_ = perm(vx, vy, vz)
+                return px + sx * pz_, py + sy * pz_, pz_ * sz
+
+            x1, y1, z1 = corner(0)
+            x2, y2, z2 = corner(1)
+            x3, y3, z3 = corner(2)
+            e1 = x2 * y3 - y2 * x3
+            e2 = x3 * y1 - y3 * x1
+            e3 = x1 * y2 - y1 * x2
+            mixed = ((e1 < 0) | (e2 < 0) | (e3 < 0)) & (
+                (e1 > 0) | (e2 > 0) | (e3 > 0)
+            )
+            det = e1 + e2 + e3
+            ts = e1 * z1 + e2 * z2 + e3 * z3
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            t = ts * inv_det
+            hit = (
+                (~mixed)
+                & (det != 0.0)
+                & (t < best_t)
+                & (t <= t_cap)
+                & (t >= tri_tol)
+            )
+            t = jnp.where(hit, t, _INF)
+            t_min = jnp.min(t, axis=1, keepdims=True)
+            k = jnp.min(
+                jnp.where(t == t_min, lane, jnp.int32(2**30)),
+                axis=1,
+                keepdims=True,
+            )
+            better = t_min < best_t
+            best_t = jnp.where(better, t_min, best_t)
+            best_slot = jnp.where(better, ti_cur * tile + k, best_slot)
+            return best_t, best_slot
+
+        best_t, best_slot = jax.lax.cond(
+            ah & improve, compute, lambda c: c, (best_t, best_slot)
+        )
+        j_next = jnp.where(improve, j + 1, jnp.int32(n_tiles))
+        return j_next, ah_next, ti_next, best_t, best_slot
+
+    _, _, _, best_t, best_slot = jax.lax.while_loop(
+        loop_cond,
+        tile_body,
+        (jnp.int32(0), ah0, ti0, best_t0, best_slot0),
+    )
+    out_t_ref[:] = best_t
+    out_slot_ref[:] = best_slot
+
+
 def _smem_blocks(n_tiles: int) -> int:
     """Grid-chunk size keeping the scalar-prefetched order table within
     ~800 KB of the 1 MB SMEM budget."""
@@ -432,7 +623,21 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
     tile = tri_cols.shape[2]
     n_blocks = r // RAY_BLOCK
     order = _block_tile_order(rays, tile_aabb, n_blocks)
-    kernel = functools.partial(_closest_kernel_big, n_tiles=n_tiles, tile=tile)
+    pipe = os.environ.get("GPT_TPU_DMA_PIPE", "0") != "0"
+    kernel = functools.partial(
+        _closest_kernel_big_pipe if pipe else _closest_kernel_big,
+        n_tiles=n_tiles, tile=tile,
+    )
+    if pipe:
+        scratch_shapes = [
+            pltpu.VMEM((2, 16, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((16, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     outs_t, outs_slot = [], []
     for c0 in range(0, n_blocks, _smem_blocks(n_tiles)):
         nb = min(_smem_blocks(n_tiles), n_blocks - c0)
@@ -454,10 +659,7 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
                     (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((16, tile), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch_shapes,
         )
         o_t, o_s = pl.pallas_call(
             kernel,

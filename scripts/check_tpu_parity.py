@@ -14,7 +14,7 @@ import tempfile
 import numpy as np
 
 CHILD = r"""
-import sys, tempfile, numpy as np
+import os, sys, tempfile, numpy as np
 sys.path.insert(0, %(root)r)
 import jax
 from gpu_pathtracer_tpu.utils.platform import apply_platform_env
@@ -25,11 +25,17 @@ from gpu_pathtracer_tpu.render import render_image
 from gpu_pathtracer_tpu.utils import testscenes
 from gpu_pathtracer_tpu.utils.obj_io import load_scene
 
-folder = tempfile.mkdtemp()
-testscenes.make_cornell_box(folder, spheres=True, sphere_subdiv=2)
-scene = build_scene(load_scene(folder, "box.obj"))
-cam = Camera.create(eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
-                    fovy_deg=40.0, width=64, height=64)
+if os.environ.get("PARITY_SCENE") == "mesh":
+    # 327k tris -> exercises the HBM-resident (big) kernel
+    scene = build_scene(testscenes.make_mesh_scene_host(subdiv=7))
+    cam = Camera.create(eye=(0.5, 0.8, 2.2), center=(0.5, 0.45, 0.5),
+                        up=(0, 1, 0), fovy_deg=45.0, width=64, height=64)
+else:
+    folder = tempfile.mkdtemp()
+    testscenes.make_cornell_box(folder, spheres=True, sphere_subdiv=2)
+    scene = build_scene(load_scene(folder, "box.obj"))
+    cam = Camera.create(eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0),
+                        up=(0, 1, 0), fovy_deg=40.0, width=64, height=64)
 img = render_image(scene, cam, jax.random.key(7), width=64, height=64,
                    sample_size=4, level=6, hittable_pdf_weight=0.5)
 np.save(%(out)r, np.asarray(img))
@@ -55,6 +61,8 @@ def run(disable_pallas: bool, out: str):
 
 
 with tempfile.TemporaryDirectory() as td:
+    scene_kind = os.environ.get("PARITY_SCENE", "cornell")
+    print(f"scene: {scene_kind}")
     a, b = os.path.join(td, "pallas.npy"), os.path.join(td, "bvh.npy")
     run(False, a)
     run(True, b)
