@@ -35,7 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = int(os.environ.get("GPT_TPU_RAY_BLOCK", "256"))
 TRI_TILE = int(os.environ.get("GPT_TPU_TRI_TILE", "512"))
+# Double-buffered DMA in the HBM-resident kernel.  Read at IMPORT time (the
+# call wrappers are jitted, so a later in-process toggle would silently hit
+# the jit cache) — like PALLAS_MAX and the other knobs, set it before import.
+DMA_PIPE = os.environ.get("GPT_TPU_DMA_PIPE", "0") != "0"
 _INF = 3.4e38  # plain float: jnp scalars would be captured consts in the kernel
+# Conservative slack on the front-to-back lower bound: fl(bmin - bhi) can
+# exceed the true slab entry t by ~1 ulp (and normalized directions carry
+# ~1 ulp of their own), so a tile holding a hit marginally closer than
+# best_t could otherwise be culled right at the exit boundary.  lb >= 0, so
+# scaling it down is strictly conservative, and a positive scale preserves
+# the host sort order the early-exit argument relies on.
+_LB_SLACK = 1.0 - 1e-6
 
 
 def pack_tri_cols(p, tol, valid, tile: int = TRI_TILE):
@@ -89,6 +100,10 @@ def _closest_kernel(order_ref, rays_ref, tris_ref, aabb_ref,
 
     # dominant-axis permutation (branch-free selects, cf. ops/intersect.py)
     ax, ay, az = jnp.abs(dx_), jnp.abs(dy_), jnp.abs(dz_)
+    # Block max |d|_inf: entry t >= cheb_dist / |d|_inf, so the front-to-back
+    # bound must be compared as lb < best_t * dmax to stay valid for ray
+    # directions of ANY scale (unit directions give dmax ~= 1, a no-op).
+    dmax = jnp.max(jnp.maximum(jnp.maximum(ax, ay), az))
     is2 = (az >= ax) & (az >= ay)
     is1 = (~is2) & (ay >= ax)
     is0 = ~(is1 | is2)
@@ -149,7 +164,7 @@ def _closest_kernel(order_ref, rays_ref, tris_ref, aabb_ref,
                 ),
             )
         )
-        improve = lb < jnp.max(best_t)
+        improve = lb * _LB_SLACK < jnp.max(best_t) * dmax
         t0x = (bmin_x - ox) * inv_dx
         t1x = (bmax_x - ox) * inv_dx
         t0y = (bmin_y - oy) * inv_dy
@@ -256,6 +271,10 @@ def _closest_kernel_big(order_ref, rays_ref, aabb_ref, tris_hbm,
     t_cap = rays[:, 6:7]
 
     ax, ay, az = jnp.abs(dx_), jnp.abs(dy_), jnp.abs(dz_)
+    # Block max |d|_inf: entry t >= cheb_dist / |d|_inf, so the front-to-back
+    # bound must be compared as lb < best_t * dmax to stay valid for ray
+    # directions of ANY scale (unit directions give dmax ~= 1, a no-op).
+    dmax = jnp.max(jnp.maximum(jnp.maximum(ax, ay), az))
     is2 = (az >= ax) & (az >= ay)
     is1 = (~is2) & (ay >= ax)
     is0 = ~(is1 | is2)
@@ -307,7 +326,7 @@ def _closest_kernel_big(order_ref, rays_ref, aabb_ref, tris_hbm,
                 ),
             )
         )
-        improve = lb < jnp.max(best_t)
+        improve = lb * _LB_SLACK < jnp.max(best_t) * dmax
         t0x = (bmin_x - ox) * inv_dx
         t1x = (bmax_x - ox) * inv_dx
         t0y = (bmin_y - oy) * inv_dy
@@ -414,6 +433,10 @@ def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
     t_cap = rays[:, 6:7]
 
     ax, ay, az = jnp.abs(dx_), jnp.abs(dy_), jnp.abs(dz_)
+    # Block max |d|_inf: entry t >= cheb_dist / |d|_inf, so the front-to-back
+    # bound must be compared as lb < best_t * dmax to stay valid for ray
+    # directions of ANY scale (unit directions give dmax ~= 1, a no-op).
+    dmax = jnp.max(jnp.maximum(jnp.maximum(ax, ay), az))
     is2 = (az >= ax) & (az >= ay)
     is1 = (~is2) & (ay >= ax)
     is0 = ~(is1 | is2)
@@ -484,7 +507,7 @@ def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
         b = read_box(ti)
         ok = (
             (jn < n_tiles)
-            & (tile_lb(b) < jnp.max(best_t))
+            & (tile_lb(b) * _LB_SLACK < jnp.max(best_t) * dmax)
             & slab_any(b, best_t)
         )
         return ok, ti
@@ -510,7 +533,7 @@ def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
     def tile_body(carry):
         j, ah, ti_cur, best_t, best_slot = carry
         b = read_box(ti_cur)
-        improve = tile_lb(b) < jnp.max(best_t)
+        improve = tile_lb(b) * _LB_SLACK < jnp.max(best_t) * dmax
 
         # prefetch tile j+1 into the other slot while j computes below;
         # suppressed when exiting so no DMA is left in flight
@@ -589,19 +612,30 @@ def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
 
 def _smem_blocks(n_tiles: int) -> int:
     """Grid-chunk size keeping the scalar-prefetched order table within
-    ~800 KB of the 1 MB SMEM budget."""
+    ~800 KB of the 1 MB SMEM budget.  Even at one block per chunk the table
+    is 4 * n_tiles bytes, so past ~200k tiles (~100M tris at TRI_TILE=512)
+    it cannot fit — fail with a clear error instead of a Mosaic compile
+    failure."""
+    if n_tiles > 200_000:
+        raise ValueError(
+            f"scene has {n_tiles} triangle tiles; the per-block front-to-back "
+            f"order table needs {4 * n_tiles} B of SMEM (budget ~800 KB). "
+            "Raise GPT_TPU_TRI_TILE or split the scene."
+        )
     return max(1, 200_000 // n_tiles)
 
 
 def _block_tile_order(rays, tile_aabb, n_blocks: int):
     """Per ray-block front-to-back tile order.
 
-    For unit directions, a ray's slab entry t into a tile AABB is >= the
-    Chebyshev (L-inf) distance from its origin to the box, which is >= the
-    distance from the block's origin bounding box to the tile box — an
-    exact, conservative early-exit bound (the kernels recompute the same
-    quantity per visited tile and stop once it can no longer improve any
-    ray's best_t).  Returns the (n_blocks, NT) int32 tile order.
+    A ray's slab entry t into a tile AABB is >= the Chebyshev (L-inf)
+    distance from its origin to the box divided by |d|_inf, which is >= the
+    distance from the block's origin bounding box to the tile box divided by
+    the block's max |d|_inf — an exact, conservative early-exit bound (the
+    kernels recompute the same quantity per visited tile, compare
+    lb * _LB_SLACK < best_t * dmax, and stop once no later tile can improve
+    any ray's best_t; the argsort order is invariant to both positive
+    scalings).  Returns the (n_blocks, NT) int32 tile order.
     """
     o_blocks = rays[:, 0:3].reshape(n_blocks, -1, 3)
     b_lo = jnp.min(o_blocks, axis=1)  # (B, 3)
@@ -623,7 +657,7 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
     tile = tri_cols.shape[2]
     n_blocks = r // RAY_BLOCK
     order = _block_tile_order(rays, tile_aabb, n_blocks)
-    pipe = os.environ.get("GPT_TPU_DMA_PIPE", "0") != "0"
+    pipe = DMA_PIPE
     kernel = functools.partial(
         _closest_kernel_big_pipe if pipe else _closest_kernel_big,
         n_tiles=n_tiles, tile=tile,
@@ -750,6 +784,13 @@ def closest_hit_pallas(
     """Closest hit for a ray batch.  Returns (t, slot, hit); slot indexes the
     sorted triangle SoA, -1 on miss.  Non-differentiable by construction
     (stop_gradient); recompute winner attributes outside.
+
+    Directions may have any scale (t and t_max are in the caller's ray
+    parameterization): the front-to-back early-exit bound is rescaled by the
+    ray block's max |d|_inf in-kernel, and the per-ray slab cull is exact
+    for any scale.  The per-triangle tolerance test (t >= tol) matches the
+    dense path's convention, which assumes ~unit directions — as in the
+    reference (triangle.h:307 works in distance units).
 
     `big=True` selects the HBM-resident kernel (triangles DMA'd per tile
     under the cull) for scenes past the VMEM-resident cap."""

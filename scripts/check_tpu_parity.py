@@ -45,12 +45,11 @@ print("backend:", jax.default_backend())
 root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(disable_pallas: bool, out: str):
+def run(out: str, extra_env: dict):
     env = dict(os.environ)
-    if disable_pallas:
-        env["GPT_TPU_DISABLE_PALLAS"] = "1"
-    else:
-        env.pop("GPT_TPU_DISABLE_PALLAS", None)
+    env.pop("GPT_TPU_DISABLE_PALLAS", None)
+    env.pop("GPT_TPU_DMA_PIPE", None)
+    env.update(extra_env)
     r = subprocess.run(
         [sys.executable, "-c", CHILD % {"root": root, "out": out}],
         env=env, capture_output=True, text=True, timeout=560,
@@ -63,18 +62,29 @@ def run(disable_pallas: bool, out: str):
 with tempfile.TemporaryDirectory() as td:
     scene_kind = os.environ.get("PARITY_SCENE", "cornell")
     print(f"scene: {scene_kind}")
-    a, b = os.path.join(td, "pallas.npy"), os.path.join(td, "bvh.npy")
-    run(False, a)
-    run(True, b)
-    ia, ib = np.load(a), np.load(b)
-    diff = np.abs(ia - ib)
-    print(f"max|diff|={diff.max():.3e} mean|diff|={diff.mean():.3e} "
-          f"img mean={ia.mean():.4f}")
-    # identical RNG + identical estimator; only the traversal differs, so
-    # images must agree to fp tolerance (tie-breaks on coplanar tris may
-    # differ on a handful of pixels)
-    frac_off = (diff.max(axis=-1) > 1e-3).mean()
-    print(f"pixels off by >1e-3: {frac_off*100:.3f}%")
-    ok = frac_off < 0.005
+    legs = [("pallas", {}), ("bvh", {"GPT_TPU_DISABLE_PALLAS": "1"})]
+    if scene_kind == "mesh":
+        # double-buffered DMA variant of the HBM-resident kernel — only
+        # reachable on big scenes; interpret mode can't catch DMA races
+        legs.append(("pallas-pipe", {"GPT_TPU_DMA_PIPE": "1"}))
+    imgs = {}
+    for name, env in legs:
+        out = os.path.join(td, name + ".npy")
+        run(out, env)
+        imgs[name] = np.load(out)
+    ref = imgs["bvh"]
+    ok = True
+    for name, ia in imgs.items():
+        if name == "bvh":
+            continue
+        diff = np.abs(ia - ref)
+        # identical RNG + identical estimator; only the traversal differs,
+        # so images must agree to fp tolerance (tie-breaks on coplanar tris
+        # may differ on a handful of pixels)
+        frac_off = (diff.max(axis=-1) > 1e-3).mean()
+        print(f"{name} vs bvh: max|diff|={diff.max():.3e} "
+              f"mean|diff|={diff.mean():.3e} img mean={ia.mean():.4f} "
+              f"pixels off by >1e-3: {frac_off*100:.3f}%")
+        ok = ok and frac_off < 0.005
     print("PARITY OK" if ok else "PARITY FAIL")
     sys.exit(0 if ok else 1)
