@@ -4,6 +4,8 @@ Mirrors the semantics of the reference's `src/param.h:5-7` (SMALL_DOUBLE,
 MAX_PHONG_N_S) and assorted hard-coded caps surveyed in SURVEY.md §2.6.
 """
 
+import os
+
 # Global geometric / numeric epsilon (reference: SMALL_DOUBLE, param.h:6).
 SMALL_EPS = 1e-5
 
@@ -29,8 +31,10 @@ MATERIAL_STACK_SIZE = 8
 # Max lights collected per ray when evaluating the many-light MIS pdf on the
 # sparse (light-tree walk) path (reference caps at 400,
 # material_operations.h:36; 32 suffices because geom_pdf is zero for every
-# emitter the ray misses and a ray rarely stabs >32 emitter AABBs).
-MAX_POTENTIAL_TARGETS = 32
+# emitter the ray misses and a ray rarely stabs >32 emitter AABBs).  Rays
+# that DO overflow are counted (collect_hit_leaves' `dropped` output /
+# trace_paths' cap stats); raise this knob if a render reports overflow.
+MAX_POTENTIAL_TARGETS = int(os.environ.get("GPT_TPU_MAX_TARGETS", "32"))
 
 # Emitter-count threshold between the dense many-lights path (one (R, E)
 # importance table + (2E-1, E) ancestor matmul — fastest on TPU while E is

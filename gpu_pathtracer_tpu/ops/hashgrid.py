@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from gpu_pathtracer_tpu.pytree import pytree_dataclass
 
@@ -76,19 +77,23 @@ def build_grid(
     )
 
 
-# the 27 neighbor-cell offsets, (27, 3) int32
-_OFFSETS = jnp.stack(
-    jnp.meshgrid(
-        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+# the 27 neighbor-cell offsets, (27, 3) int32.  NUMPY on purpose: a
+# module-level jnp constant would be created as a TRACER if this module's
+# first import happens inside a traced region (e.g. under jax.checkpoint),
+# then leak into every later use (UnexpectedTracerError).
+_OFFSETS = _np.stack(
+    _np.meshgrid(
+        _np.arange(-1, 2), _np.arange(-1, 2), _np.arange(-1, 2), indexing="ij"
     ),
     axis=-1,
-).reshape(27, 3).astype(jnp.int32)
+).reshape(27, 3).astype(_np.int32)
 
 
 def query_candidates(
     grid: HashGrid,
     query_pos: jnp.ndarray,  # (R, 3)
     k_per_cell: int = 16,
+    with_stats: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate photon rows within the 27 cells around each query point.
 
@@ -96,6 +101,12 @@ def query_candidates(
     Callers MUST still distance-test the candidates (hash collisions and
     corner cells produce false positives; there are no false negatives for
     query radii <= cell_size).
+
+    `with_stats=True` adds a third output: the (R,) int32 count of bucket
+    entries dropped by the `k_per_cell` cap across the 27 cells ("no silent
+    caps").  It is an UPPER bound on real in-radius photons lost — hash
+    collisions inflate bucket occupancy — so 0 proves nothing was dropped,
+    while a large count says raise `k_per_cell` (or hash_bits).
     """
     q = jnp.floor(
         (query_pos - grid.origin[None, :]) / grid.cell_size
@@ -128,4 +139,7 @@ def query_candidates(
         axis=-1,
     )
     ok = (sorted_idx < sentinel) & (sorted_idx != prev)
+    if with_stats:
+        dropped = jnp.sum(jnp.maximum(end - start - k, 0), axis=-1)
+        return jnp.minimum(sorted_idx, p - 1), ok, dropped.astype(jnp.int32)
     return jnp.minimum(sorted_idx, p - 1), ok

@@ -512,17 +512,21 @@ def collect_hit_leaves(
     threaded (stackless) walk of the light BVH (traverse_bvh_target,
     bvh_traversal_target.h:114-184; the reference caps at 400).
 
-    Returns (leaf, ok): (R, K) int32 leaf indices + validity mask.  The
+    Returns (leaf, ok, dropped): (R, K) int32 leaf indices, validity mask,
+    and (R,) int32 count of stabbed leaves DROPPED past the cap ("no silent
+    caps": dropped > 0 means the pdf sum computed from this collection is
+    biased low for that ray — the reference's own 400-entry cap has the same
+    failure mode, just a larger budget, bvh_traversal_target.h:118).  The
     collection is a superset of the emitters the ray actually hits, so
     summing triangle-hit pdfs over it equals the full dense sum whenever
-    fewer than K AABBs are stabbed (overflow drops the excess — exactly the
-    reference's cap behavior)."""
+    dropped == 0."""
     e = lt.num_lights
     r = origin.shape[0]
     if e == 1:
         return (
             jnp.zeros((r, 1), jnp.int32),
             jnp.ones((r, 1), bool),
+            jnp.zeros((r,), jnp.int32),
         )
     leaf_base = e - 1
     tree = lt.tree
@@ -534,11 +538,11 @@ def collect_hit_leaves(
     k_ar = jnp.arange(max_k, dtype=jnp.int32)
 
     def cond(state):
-        cur, _, _, steps = state
+        cur, _, _, _, steps = state
         return jnp.any(cur >= 0) & (steps < 4 * e)
 
     def body(state):
-        cur, buf, cnt, steps = state
+        cur, buf, cnt, drop, steps = state
         live = cur >= 0
         node = jnp.maximum(cur, 0)
         box_hit = bvh_mod.ray_box_test(
@@ -546,24 +550,27 @@ def collect_hit_leaves(
             jnp.full((r,), jnp.inf),
         ) & live
         is_leaf = node >= leaf_base
-        take = box_hit & is_leaf & (cnt < max_k)
+        stab = box_hit & is_leaf
+        take = stab & (cnt < max_k)
         slot = (k_ar[None, :] == cnt[:, None]) & take[:, None]
         buf = jnp.where(slot, (node - leaf_base)[:, None], buf)
         cnt = cnt + take.astype(jnp.int32)
+        drop = drop + (stab & ~take).astype(jnp.int32)
         nxt = jnp.where(box_hit & ~is_leaf, tree.left[node], tree.escape[node])
-        return jnp.where(live, nxt, cur), buf, cnt, steps + 1
+        return jnp.where(live, nxt, cur), buf, cnt, drop, steps + 1
 
-    _, buf, cnt, _ = jax.lax.while_loop(
+    _, buf, cnt, drop, _ = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.zeros((r,), jnp.int32),
             jnp.zeros((r, max_k), jnp.int32),
             jnp.zeros((r,), jnp.int32),
+            jnp.zeros((r,), jnp.int32),
             jnp.int32(0),
         ),
     )
-    return buf, k_ar[None, :] < cnt[:, None]
+    return buf, k_ar[None, :] < cnt[:, None], drop
 
 
 def hittable_pdf_sum_sparse(
@@ -572,15 +579,21 @@ def hittable_pdf_sum_sparse(
     direction: jnp.ndarray,  # (R, 3) unit
     pivot: jnp.ndarray,  # (R, 3)
     max_k: int = MAX_POTENTIAL_TARGETS,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
     """`hittable_pdf_sum` without any (R, E) table: AABB-collect candidate
     leaves via the light BVH, intersect only those K triangles, and compute
     their selection pdfs with bounded walks (the reference's exact
     formulation, _recompute_pdf material_operations.h:26-72 over the
-    traverse_bvh_target collection)."""
+    traverse_bvh_target collection).
+
+    `with_stats=True` additionally returns the (R,) int32 count of stabbed
+    emitter leaves dropped past `max_k` — a nonzero count flags rays whose
+    mixture pdf is biased low (firefly risk on dense emitter panels viewed
+    edge-on; raise GPT_TPU_MAX_TARGETS if it shows up)."""
     from gpu_pathtracer_tpu.ops import trace as trace_mod
 
-    cand, ok = collect_hit_leaves(lt, origin, direction, max_k)  # (R, K)
+    cand, ok, dropped = collect_hit_leaves(lt, origin, direction, max_k)
     tri = trace_mod.gather_rows(lt.tri_p, cand)  # (R, K, 3, 3)
     tol = lt.tol[cand]
     t, bary, hit = intersect.intersect_tris(
@@ -597,7 +610,10 @@ def hittable_pdf_sum_sparse(
         0.0,
     )
     node_pdf = node_pdf_walk(lt, cand, origin, pivot)  # (R, K)
-    return jnp.sum(jnp.where(hit & ok, node_pdf * geom, 0.0), axis=-1)
+    s = jnp.sum(jnp.where(hit & ok, node_pdf * geom, 0.0), axis=-1)
+    if with_stats:
+        return s, dropped
+    return s
 
 
 def hittable_pdf_sum(

@@ -83,7 +83,10 @@ def _nee_mis(
 ):
     """change_ref_ray (material_operations.h:87-153): with prob w redirect
     the sampled ray at a light-tree-sampled emitter point, then weight with
-    the mixture pdf.  Returns (new_dir, new_filter, factor)."""
+    the mixture pdf.  Returns (new_dir, new_filter, factor, mis_dropped) —
+    mis_dropped is the (R,) count of emitter leaves the sparse pdf sum had
+    to drop past MAX_POTENTIAL_TARGETS (always 0 on the dense path, which
+    sums over every emitter)."""
     lt = scene.light_tree
     r_shape = ref.pdf.shape
     pivot = jnp.where(ref.diffuse[..., None], normal, ref.perfect_dir)
@@ -120,9 +123,10 @@ def _nee_mis(
         hittable = lights_mod.hittable_pdf_sum(
             lt, ref.origin, new_dir, pivot, node_pdf=node_pdf
         )
+        mis_dropped = jnp.zeros(r_shape, jnp.int32)
     else:
-        hittable = lights_mod.hittable_pdf_sum_sparse(
-            lt, ref.origin, new_dir, pivot
+        hittable, mis_dropped = lights_mod.hittable_pdf_sum_sparse(
+            lt, ref.origin, new_dir, pivot, with_stats=True
         )
     samp_diff = sampling.diffuse_sampling_pdf(normal, new_dir)
     samp_spec = sampling.specular_sampling_pdf(
@@ -134,12 +138,15 @@ def _nee_mis(
     scat = sampling.scattering_pdf(normal, new_dir, ref.diffuse, coming_dir, ref.refracted)
     factor = scat / jnp.pi / jnp.where(pdf != 0, pdf, 1.0)
     factor = jnp.where(pdf != 0, factor, 0.0)
-    return new_dir, new_filter, factor
+    return new_dir, new_filter, factor, mis_dropped
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("level", "hittable_pdf_weight", "stack_size", "sss_first_pass"),
+    static_argnames=(
+        "level", "hittable_pdf_weight", "stack_size", "sss_first_pass",
+        "return_stats",
+    ),
 )
 def trace_paths(
     scene: Scene,
@@ -150,10 +157,15 @@ def trace_paths(
     hittable_pdf_weight: float = 0.0,
     stack_size: int = MATERIAL_STACK_SIZE,
     sss_first_pass: bool = False,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Radiance for a batch of rays (_compute_color, pathtracing.h:86-200).
 
-    One scan step == one bounce for every ray (wavefront).  Returns (R, 3).
+    One scan step == one bounce for every ray (wavefront).  Returns (R, 3);
+    with `return_stats=True`, returns (radiance, stats) where stats carries
+    the capacity-overflow counters ("no silent caps"):
+    `mis_targets_dropped` = total emitter leaves dropped past
+    MAX_POTENTIAL_TARGETS across all (ray, bounce) MIS pdf sums.
     """
     r = origin.shape[0]
     g = scene.geom
@@ -169,6 +181,7 @@ def trace_paths(
         stack_len=stack_len,
         sss_color=jnp.zeros((r, 3)),
         sss_done=jnp.zeros((r,), bool),
+        cap_mis=jnp.zeros((), jnp.int32),
     )
 
     def bounce(state, i):
@@ -195,15 +208,17 @@ def trace_paths(
         )
 
         # NEE/MIS factor (skipped for false hits / SSS gathers)
+        cap_mis = state["cap_mis"]
         if scene.light_tree is not None:
             do_nee = hit & ~ref.false_hit & ~(ref.sss & jnp.bool_(not sss_first_pass))
-            new_dir, new_filter, nee_factor = _nee_mis(
+            new_dir, new_filter, nee_factor, mis_dropped = _nee_mis(
                 scene, ref, normal, state["d"],
                 hittable_pdf_weight, jax.random.fold_in(bkey, 23),
             )
             next_dir = jnp.where(do_nee[..., None], new_dir, ref.dir)
             filt = jnp.where(do_nee[..., None], new_filter, ref.filter)
             factor = jnp.where(do_nee, nee_factor, 1.0)
+            cap_mis = cap_mis + jnp.sum(jnp.where(do_nee, mis_dropped, 0))
         else:
             next_dir, filt, factor = ref.dir, ref.filter, jnp.ones((r,))
 
@@ -270,11 +285,14 @@ def trace_paths(
             stack_len=stack_len,
             sss_color=sss_color,
             sss_done=sss_done,
+            cap_mis=cap_mis,
         )
         return new_state, None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(level))
     out = jnp.where(state["sss_done"][..., None], state["sss_color"], state["acc"])
+    if return_stats:
+        return linalg.de_nan(out), {"mis_targets_dropped": state["cap_mis"]}
     return linalg.de_nan(out)
 
 
@@ -304,6 +322,16 @@ def render_image(
     are scanned sequentially, so HBM holds one chunk's (rays x tri-tile)
     working set regardless of resolution or spp.  Returns (H, W, 3) linear
     radiance.
+
+    DoF deviation (deliberate): the reference draws ONE thin-lens sample
+    per DoF sample and reuses that camera ray for all `sample_size` inner
+    samples (pathtracing.h:277-280); here every one of the
+    `sample_size * dof_sample_size` samples draws a fresh lens sample.
+    Both estimate the same (lens x path) integral — identical expectation,
+    and the decorrelated form has no higher variance at equal total sample
+    count (it only removes the within-group lens correlation).  Asserted
+    against a reference-structured estimator in
+    tests/test_io_camera.py::test_dof_decorrelated_estimator_matches_reference_structure.
     """
     ii, jj = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32),

@@ -37,6 +37,7 @@ mathematically intended sum.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -530,6 +531,7 @@ def volume_gather_segments_grid(
     vol_radius: jnp.ndarray,  # (R,)
     k_per_cell: int = 8,
     chunk: int = 4096,
+    static_steps: int | None = None,
 ) -> jnp.ndarray:
     """Hash-grid beam gather over recorded medium segments (replaces the
     reference's per-pass volume-photon LBVH + cylinder traversal,
@@ -543,6 +545,12 @@ def volume_gather_segments_grid(
     in-cylinder photon has exactly one canonical i, so counting it only at
     step i dedups across overlapping neighborhoods.  Cost per pass:
     O(segments * steps * 27 * k_per_cell) instead of O(R * P) per walk step.
+
+    `static_steps`: with a Python int, the step loop has a static trip
+    count, which makes the whole gather reverse-differentiable (a dynamic
+    `fori_loop` bound lowers to `while_loop`, which has no transpose).
+    Segments needing more than `static_steps` sample points lose their tail
+    — pick it >= ceil(max segment length / r_max) + 1.
     """
     from gpu_pathtracer_tpu.ops import hashgrid
 
@@ -550,7 +558,10 @@ def volume_gather_segments_grid(
     r_max = jnp.max(jnp.where(seg_valid.any(axis=1), vol_radius, 0.0))
     spacing = jnp.maximum(r_max, 1e-12)
     cell = 1.5 * spacing
-    grid = hashgrid.build_grid(photons.pos, vphot, cell)
+    grid = hashgrid.build_grid(
+        jax.lax.stop_gradient(photons.pos), vphot,
+        jax.lax.stop_gradient(cell),
+    )
 
     r_total, s = seg_start.shape[:2]
     q_total = r_total * s
@@ -565,15 +576,20 @@ def volume_gather_segments_grid(
     f_valid = flat(seg_valid)
     f_radius = jnp.repeat(vol_radius, s)
 
-    # static step bound: segments longer than max_steps * r_max lose their
-    # tail (the reference has its own caps: 400-entry collection lists, 64
+    # step bound: segments longer than max_steps * r_max lose their tail
+    # (the reference has its own caps: 400-entry collection lists, 64
     # bounces); scene-scale segments at sane radii stay far below this
-    max_steps = 512
-    n_steps = jnp.minimum(
-        jnp.int32(max_steps),
-        jnp.max(jnp.where(f_valid, jnp.ceil(f_len / spacing), 0.0)).astype(jnp.int32)
-        + 1,
-    )
+    if static_steps is None:
+        max_steps = 512
+        n_steps = jnp.minimum(
+            jnp.int32(max_steps),
+            jnp.max(
+                jnp.where(f_valid, jnp.ceil(f_len / spacing), 0.0)
+            ).astype(jnp.int32)
+            + 1,
+        )
+    else:
+        n_steps = static_steps  # Python int -> fori_loop unrolls to scan
 
     pad = (-q_total) % chunk
     def padded(x, fill=0.0):
@@ -646,6 +662,7 @@ def surface_gather_grid(
     k_nearest: int = 16,
     k_per_cell: int = 8,
     chunk: int = 16384,
+    return_overflow: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hash-grid surface photon gather (BASELINE.json: hash-grid radiance
     estimation replaces the reference's per-pass photon-BVH rebuild +
@@ -656,6 +673,12 @@ def surface_gather_grid(
     per-pass cost is O(pixels * 27 * k_per_cell) instead of the dense
     O(pixels * photons).  Candidates are distance-filtered, reduced to the
     `k_nearest` nearest, and visibility-checked exactly like the dense path.
+
+    `return_overflow=True` adds a scalar int32: total candidates dropped by
+    the `k_per_cell` cell cap plus in-radius photons dropped by the
+    `k_nearest` reduction, across all pixels ("no silent caps"; the
+    reference's gather is unbounded, bvh_traversal_photon.h:108-205, so a
+    large count here means this pass under-gathers flux — raise the caps).
     """
     from gpu_pathtracer_tpu.ops import hashgrid
 
@@ -663,7 +686,10 @@ def surface_gather_grid(
     sphot = photons.valid & photons.on_surface  # (P,)
     # cell size = max radius over valid pixels (radii only shrink with passes)
     r_max = jnp.max(jnp.where(hp_valid, hp_radius, 0.0))
-    grid = hashgrid.build_grid(photons.pos, sphot, r_max)
+    grid = hashgrid.build_grid(
+        jax.lax.stop_gradient(photons.pos), sphot,
+        jax.lax.stop_gradient(r_max),
+    )
 
     r_total = hp_loc.shape[0]
     pad = (-r_total) % chunk
@@ -680,11 +706,17 @@ def surface_gather_grid(
 
     def one_chunk(args):
         loc, nrm, rad, val = args
-        cand, ok = hashgrid.query_candidates(grid, loc, k_per_cell)  # (C, 27K)
+        cand, ok, cell_drop = hashgrid.query_candidates(
+            grid, loc, k_per_cell, with_stats=True
+        )  # (C, 27K)
+        cell_drop = jnp.where(val, cell_drop, 0)
         cpos = photons.pos[cand]  # (C, 27K, 3)
         d2 = jnp.sum((cpos - loc[:, None, :]) ** 2, axis=-1)
         in_r = ok & val[:, None] & (d2 <= rad[:, None] ** 2)
-        key_val = jnp.where(in_r, -d2, -jnp.inf)
+        # candidate choice is topology, not value: stop_gradient keeps the
+        # backward pass free of a pointless top_k transpose (no output
+        # depends on the distances themselves)
+        key_val = jax.lax.stop_gradient(jnp.where(in_r, -d2, -jnp.inf))
         k = min(k_nearest, key_val.shape[-1])
         top_val, top_pos = jax.lax.top_k(key_val, k)  # (C, K)
         top_idx = jnp.take_along_axis(cand, top_pos, axis=-1)
@@ -709,11 +741,16 @@ def surface_gather_grid(
         flux = jnp.sum(
             (visible * fac)[..., None] * photons.color[top_idx], axis=1
         )
-        return flux, jnp.sum(visible, axis=-1)
+        knn_drop = jnp.maximum(jnp.sum(in_r, axis=-1) - k, 0)
+        return flux, jnp.sum(visible, axis=-1), jnp.sum(cell_drop + knn_drop)
 
-    flux, count = jax.lax.map(one_chunk, (loc_c, nrm_c, rad_c, val_c))
+    flux, count, overflow = jax.lax.map(
+        one_chunk, (loc_c, nrm_c, rad_c, val_c)
+    )
     flux = flux.reshape(-1, 3)[:r_total]
     count = count.reshape(-1)[:r_total]
+    if return_overflow:
+        return flux, count, jnp.sum(overflow)
     return flux, count
 
 
@@ -725,9 +762,15 @@ def surface_gather(
     hp_radius: jnp.ndarray,  # (R,)
     hp_valid: jnp.ndarray,  # (R,)
     k_nearest: int = 16,
+    return_overflow: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Surface photon gather with per-photon visibility re-check
     (_traverse_bvh_surface_photon, bvh_traversal_photon.h:108-205).
+
+    `return_overflow=True` adds a scalar int32: total in-radius photons
+    beyond the `k_nearest` cap across all pixels ("no silent caps" — the
+    reference visits EVERY in-radius photon; a large count means early
+    passes are dropping flux and k_nearest should be raised).
 
     For each hit point, the K nearest in-radius photons are visibility-tested
     with a ray toward each photon's previous location; the photon counts iff
@@ -747,7 +790,7 @@ def surface_gather(
     in_r = sphot[None, :] & hp_valid[:, None] & (
         d2 <= (hp_radius[:, None] ** 2)
     )
-    key_val = jnp.where(in_r, -d2, -jnp.inf)
+    key_val = jax.lax.stop_gradient(jnp.where(in_r, -d2, -jnp.inf))
     k = min(k_nearest, photons.pos.shape[0])
     top_val, top_idx = jax.lax.top_k(key_val, k)  # (R, K)
     cand_ok = jnp.isfinite(top_val)
@@ -775,6 +818,9 @@ def surface_gather(
         (visible * fac)[..., None] * photons.color[top_idx], axis=1
     )
     count = jnp.sum(visible, axis=-1)
+    if return_overflow:
+        overflow = jnp.sum(jnp.maximum(jnp.sum(in_r, axis=-1) - k, 0))
+        return flux, count, overflow.astype(jnp.int32)
     return flux, count
 
 
@@ -931,11 +977,18 @@ def eye_pass(
     differentiable: bool = False,
     max_segments: int = 8,
     volume_grid: bool = False,
+    vol_steps: int | None = None,
+    vol_k_per_cell: int = 8,
+    return_stats: bool = False,
 ):
     """One eye trace per pixel to the first diffuse hit
     (_get_hit_point_details, ray_tracing_pass.h:171-392).
 
-    Returns (loc, normal, filter, direct_radiance, tmp_lm, valid).
+    Returns (loc, normal, filter, direct_radiance, tmp_lm, valid); with
+    `return_stats=True` a 7th element: a dict of capacity-overflow counters
+    ("no silent caps") — `segments_dropped` (medium segments lost to the
+    `max_segments` cap) and `beam_steps_dropped` (grid-gather sample points
+    lost to the step bound; 0 on the dense gather, which has no step loop).
 
     Volume gather: instead of the reference's in-walk cylinder traversal
     per medium segment (ray_tracing_pass.h:262-286) — which on TPU would
@@ -985,6 +1038,7 @@ def eye_pass(
         sg_med=jnp.full((r, max_segments), -1, jnp.int32),
         sg_filt=jnp.zeros((r, max_segments, 3)),
         sg_cnt=jnp.zeros((r,), jnp.int32),
+        sg_lost=jnp.zeros((r,), jnp.int32),
         live=jnp.ones((r,), bool),
         found=jnp.zeros((r,), bool),
         # recorded diffuse-hit info
@@ -1027,7 +1081,8 @@ def eye_pass(
         seg_dir = linalg.normalize(seg_vec, SMALL_EPS)
         seg_on = live & ~ref.false_hit & st["prev_in_medium"]
         sg = {k: st[k] for k in
-              ("sg_start", "sg_dir", "sg_len", "sg_med", "sg_filt", "sg_cnt")}
+              ("sg_start", "sg_dir", "sg_len", "sg_med", "sg_filt", "sg_cnt",
+               "sg_lost")}
         if record_segments:
             can = seg_on & (st["sg_cnt"] < max_segments)
             slot = (
@@ -1049,6 +1104,7 @@ def eye_pass(
                     slot[..., None], st["filt"][:, None, :], st["sg_filt"]
                 ),
                 sg_cnt=st["sg_cnt"] + can.astype(jnp.int32),
+                sg_lost=st["sg_lost"] + (seg_on & ~can).astype(jnp.int32),
             )
         tr = transmittance(table, st["prev_medium"], seg_l)
         filt = st["filt"] * jnp.where(
@@ -1100,15 +1156,19 @@ def eye_pass(
 
     # gather the recorded medium segments (see docstring)
     tmp_lm = jnp.zeros((r, 3))
+    seg_valid = None
     if record_segments:
         seg_valid = (
             jnp.arange(max_segments, dtype=jnp.int32)[None, :]
             < st["sg_cnt"][:, None]
         )
-        gather_fn = (
-            volume_gather_segments_grid if volume_grid
-            else volume_gather_segments_dense
-        )
+        if volume_grid:
+            gather_fn = functools.partial(
+                volume_gather_segments_grid, static_steps=vol_steps,
+                k_per_cell=vol_k_per_cell,
+            )
+        else:
+            gather_fn = volume_gather_segments_dense
         tmp_lm = gather_fn(
             table, volume_photons, st["sg_start"], st["sg_dir"],
             st["sg_len"], st["sg_med"], st["sg_filt"], seg_valid,
@@ -1133,7 +1193,25 @@ def eye_pass(
         direct = jnp.where(st["found"][..., None], direct, 0.0)
 
     loc = jnp.where(st["found"][..., None], st["h_pt"], jnp.inf)
-    return loc, st["h_nrm"], h_filter, direct, tmp_lm, st["found"]
+    outs = (loc, st["h_nrm"], h_filter, direct, tmp_lm, st["found"])
+    if not return_stats:
+        return outs
+    steps_dropped = jnp.zeros((), jnp.int32)
+    if record_segments and volume_grid:
+        # same spacing formula as volume_gather_segments_grid; count the
+        # sample points beyond the step bound (lost beam-gather tail)
+        bound = vol_steps if vol_steps is not None else 512
+        r_used = jnp.max(jnp.where(seg_valid.any(axis=1), volume_radius, 0.0))
+        spacing = jnp.maximum(r_used, 1e-12)
+        needed = jnp.ceil(st["sg_len"] / spacing) + 1
+        steps_dropped = jnp.sum(
+            jnp.where(seg_valid, jnp.maximum(needed - bound, 0.0), 0.0)
+        ).astype(jnp.int32)
+    stats = {
+        "segments_dropped": jnp.sum(st["sg_lost"]),
+        "beam_steps_dropped": steps_dropped,
+    }
+    return outs + (stats,)
 
 
 # ---------------------------------------------------------------------------
@@ -1159,10 +1237,11 @@ def initial_radius(
     corner_locs = []
     offsets = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
     for c, (oi, oj) in enumerate(offsets):
-        cl, _, _, _, _, cv = eye_fn(
+        outs = eye_fn(
             scene, camera, jax.random.fold_in(key_init, 1 + c),
             pix_i + oi, pix_j + oj, None, vol_r, init=True,
         )
+        cl, cv = outs[0], outs[5]  # robust to an extra stats element
         corner_locs.append(jnp.where(cv[..., None], cl, jnp.inf))
 
     radius = jnp.full((r,), jnp.inf)
@@ -1190,6 +1269,7 @@ def initial_radius(
     static_argnames=(
         "width", "height", "n_photons", "num_pass", "max_bounce",
         "eye_bounce", "stack_size", "gather_volume", "k_nearest",
+        "gather_grid", "k_per_cell", "vol_steps",
     ),
 )
 def render_sppm_differentiable(
@@ -1207,6 +1287,9 @@ def render_sppm_differentiable(
     stack_size: int = MATERIAL_STACK_SIZE,
     gather_volume: bool = False,
     k_nearest: int = 16,
+    gather_grid: bool | None = None,
+    k_per_cell: int = 8,
+    vol_steps: int = 64,
 ) -> jnp.ndarray:
     """Fully jitted, reverse-differentiable SPPM render: one functional
     `lax.scan` over passes whose carried `HitPoints` radiance is
@@ -1223,12 +1306,26 @@ def render_sppm_differentiable(
       (the gather radius is geometry-only, and the traces stay as cheap
       non-differentiable while_loops).
 
+    Scale: `gather_grid` (None = auto by the same `pixels * photons > 2^24`
+    rule as the forward `render_sppm`) switches the surface gather — and,
+    with `gather_volume=True`, the recorded-segment beam gather — to the
+    hash-grid forms, so the differentiable loop runs at the real neon-sign
+    scale (256^2+ pixels, >=16k photons/pass) without the O(R*P) pair
+    matrix inside the rematerialized scan.  The grid's candidate topology
+    (cell sort, 27-cell lookup, top-k pick) sits under `stop_gradient`;
+    contributions stay differentiable — the same trick the Pallas
+    traversal uses (ops/pallas_trace.py `closest_hit_pallas`).  The volume
+    grid's step loop uses the static `vol_steps` bound (segments needing
+    more sample points lose their tail; see volume_gather_segments_grid).
+
     Returns (H, W, 3) linear radiance.
     """
     import dataclasses
 
     h, w = height, width
     r = w * h
+    if gather_grid is None:
+        gather_grid = r * n_photons > (1 << 24)
     ii, jj = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
@@ -1237,7 +1334,9 @@ def render_sppm_differentiable(
     pix_j = jj.reshape(-1)
 
     eye_fn = functools.partial(
-        eye_pass, max_bounce=eye_bounce, stack_size=stack_size
+        eye_pass, max_bounce=eye_bounce, stack_size=stack_size,
+        volume_grid=gather_grid and gather_volume, vol_steps=vol_steps,
+        vol_k_per_cell=k_per_cell,
     )
 
     # geometry-only init pass + corner radius on the detached scene
@@ -1289,10 +1388,16 @@ def render_sppm_differentiable(
             tmp_lm=tmp_lm,
             valid=valid,
         )
-        flux, _ = surface_gather(
-            scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid,
-            k_nearest=k_nearest,
-        )
+        if gather_grid:
+            flux, _ = surface_gather_grid(
+                scene, photons, hp.loc, hp.normal, hp.surface_radius,
+                hp.valid, k_nearest=k_nearest, k_per_cell=k_per_cell,
+            )
+        else:
+            flux, _ = surface_gather(
+                scene, photons, hp.loc, hp.normal, hp.surface_radius,
+                hp.valid, k_nearest=k_nearest,
+            )
         iteration = (it + 1).astype(jnp.float32)
         shrink = jnp.where(
             iteration >= 2.0,
@@ -1388,10 +1493,14 @@ def render_sppm(
     # dense recorded-segment gather for tiny workloads; hash-grid beams once
     # the (segments x photons) product would dominate
     use_vol_grid = r * n_phot > (1 << 24)
+    # "no silent caps": with GPT_TPU_CAP_STATS=1 every pass logs how much
+    # work its fixed-capacity ops dropped (segments, beam steps, gather
+    # candidates) so truncation bias is auditable instead of invisible
+    cap_stats = os.environ.get("GPT_TPU_CAP_STATS", "0") != "0"
     eye_jit = jax.jit(
         functools.partial(
             eye_pass, max_bounce=64, stack_size=cfg.max_stack,
-            volume_grid=use_vol_grid,
+            volume_grid=use_vol_grid, return_stats=cap_stats,
         ),
         static_argnames=("init",),
     )
@@ -1460,7 +1569,7 @@ def render_sppm(
         loc, nrm, filt, direct, _, valid = eye_jit(
             scene, camera, jax.random.fold_in(key_init, 0),
             pix_i + 0.5, pix_j + 0.5, None, vol_r, init=True,
-        )
+        )[:6]
     if resumed_hp is not None:
         hp = resumed_hp
     else:
@@ -1496,9 +1605,13 @@ def render_sppm(
     # big enough that the O(R*P) distance matrix dominates (BASELINE.json:
     # hash-grid radiance estimation)
     if r * n_phot > (1 << 24):
-        gather_jit = jax.jit(functools.partial(surface_gather_grid, k_nearest=16))
+        gather_jit = jax.jit(functools.partial(
+            surface_gather_grid, k_nearest=16, return_overflow=cap_stats
+        ))
     else:
-        gather_jit = jax.jit(functools.partial(surface_gather, k_nearest=16))
+        gather_jit = jax.jit(functools.partial(
+            surface_gather, k_nearest=16, return_overflow=cap_stats
+        ))
 
     @jax.jit
     def update(hp: HitPoints, flux, iteration):
@@ -1548,7 +1661,7 @@ def render_sppm(
             scene, pkey, n_photons=n_phot, max_bounce=max_bounce,
             stack_size=cfg.max_stack,
         )
-        loc, nrm, filt, direct, tmp_lm, valid = eye_jit(
+        eye_outs = eye_jit(
             scene, camera, jax.random.fold_in(pkey, 1),
             pix_i
             + jax.random.uniform(jax.random.fold_in(pkey, 2), (r,)),
@@ -1556,6 +1669,7 @@ def render_sppm(
             + jax.random.uniform(jax.random.fold_in(pkey, 3), (r,)),
             photons, hp.volume_radius, init=False,
         )
+        loc, nrm, filt, direct, tmp_lm, valid = eye_outs[:6]
         hp = dataclasses.replace(
             hp,
             loc=jnp.where(valid[..., None], loc, jnp.inf),
@@ -1565,10 +1679,19 @@ def render_sppm(
             tmp_lm=tmp_lm,
             valid=valid,
         )
-        flux, _ = gather_jit(
+        gather_outs = gather_jit(
             scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid
         )
+        flux = gather_outs[0]
         hp = update(hp, flux, jnp.float32(it + 1))
+        if cap_stats:
+            es = eye_outs[6]
+            print(
+                f"[capstats] pass {it + 1}: "
+                f"gather_candidates_dropped={int(gather_outs[2])} "
+                f"segments_dropped={int(es['segments_dropped'])} "
+                f"beam_steps_dropped={int(es['beam_steps_dropped'])}"
+            )
         if (it + 1) % max(checkpoint_every, 1) == 0 or it + 1 == num_pass:
             _save_checkpoint(it, hp)
 

@@ -73,9 +73,10 @@ def test_collect_hit_leaves_superset():
     direction = jax.random.normal(jax.random.fold_in(key, 2), (r, 3))
     direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
 
-    cand, ok = lights.collect_hit_leaves(lt, origin, direction, max_k=64)
+    cand, ok, dropped = lights.collect_hit_leaves(lt, origin, direction, max_k=64)
     cand = np.asarray(cand)
     ok = np.asarray(ok)
+    assert (np.asarray(dropped) == 0).all()  # 64 slots cover 64 emitters
 
     _, _, hit = intersect.intersect_tris(
         origin, direction, lt.tri_p[None], lt.tol[None], jnp.inf
@@ -102,6 +103,55 @@ def test_hittable_pdf_sum_sparse_matches_dense():
     sparse = lights.hittable_pdf_sum_sparse(lt, origin, direction, pivot, max_k=64)
     np.testing.assert_allclose(
         np.asarray(sparse), np.asarray(dense), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_mis_cap_overflow_counted_and_parity_at_capacity():
+    """VERDICT r03 stress: a ray PIERCING far more emitters than
+    MAX_POTENTIAL_TARGETS (reference capacity is 400,
+    bvh_traversal_target.h:118).  96 parallel emitter quads stacked along
+    +x, all stabbed and hit by one axial ray:
+
+    * the `dropped` counter must report exactly the overflow (96 - max_k);
+    * at max_k=128 (>= 96) the sparse sum must equal the dense oracle —
+      pdf-sum parity at 64+ stabbed emitters;
+    * at max_k=32 the sum must be biased LOW (never high), and the counter
+      flags it — the documented contract for raising GPT_TPU_MAX_TARGETS.
+    """
+    e = 96
+    xs = np.linspace(0.5, 5.0, e, dtype=np.float32)
+    # right triangles in the yz plane containing (y, z) = (0, 0)
+    tri = np.zeros((e, 3, 3), np.float32)
+    tri[:, :, 0] = xs[:, None]
+    tri[:, 0, 1:] = (-0.1, -0.1)
+    tri[:, 1, 1:] = (0.2, -0.1)
+    tri[:, 2, 1:] = (-0.1, 0.2)
+    tri_n = np.tile(
+        np.array([-1.0, 0.0, 0.0], np.float32), (e, 3, 1)
+    )
+    lt = lights.build_light_tree(
+        jnp.asarray(tri), jnp.asarray(tri_n), jnp.zeros((e, 3, 2)),
+        jnp.ones((e, 3)), jnp.arange(e, dtype=jnp.int32),
+    )
+    origin = jnp.zeros((4, 3))
+    direction = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (4, 1))
+    pivot = direction
+
+    dense = np.asarray(lights.hittable_pdf_sum(lt, origin, direction, pivot))
+    full, drop_full = lights.hittable_pdf_sum_sparse(
+        lt, origin, direction, pivot, max_k=128, with_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(drop_full), 0)
+    np.testing.assert_allclose(np.asarray(full), dense, rtol=2e-4)
+
+    capped, dropped = lights.hittable_pdf_sum_sparse(
+        lt, origin, direction, pivot, max_k=32, with_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(dropped), e - 32)
+    capped = np.asarray(capped)
+    assert (capped <= dense * (1 + 1e-4)).all(), "cap must never bias HIGH"
+    assert (capped < 0.9 * dense).all(), (
+        "stress scene should show real bias (else it proves nothing)"
     )
 
 

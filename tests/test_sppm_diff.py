@@ -22,10 +22,10 @@ from gpu_pathtracer_tpu.utils import testscenes
 from gpu_pathtracer_tpu.utils.obj_io import load_scene
 
 
-def _dim_box(folder):
+def _dim_box(folder, fog=False):
     """Cornell box, diffuse-capable light, emission dimmed well below the
     direct-chain <=1 clamp so the image is linear in the emitter scale."""
-    testscenes.make_cornell_box(folder, spheres=False)
+    testscenes.make_cornell_box(folder, spheres=fog, sphere_subdiv=0, fog=fog)
     mtl = folder / "box.mtl"
     text = mtl.read_text().replace(
         "newmtl light\nKd 0 0 0", "newmtl light\nKd 0.78 0.78 0.78"
@@ -37,6 +37,11 @@ def _dim_box(folder):
 @pytest.fixture(scope="module")
 def dim_box(tmp_path_factory):
     return _dim_box(tmp_path_factory.mktemp("diff_box"))
+
+
+@pytest.fixture(scope="module")
+def dim_fog_box(tmp_path_factory):
+    return _dim_box(tmp_path_factory.mktemp("diff_fog_box"), fog=True)
 
 
 @pytest.fixture(scope="module")
@@ -155,6 +160,82 @@ def test_sppm_emitter_optimization_recovers(dim_box):
     err0 = np.abs(ke_true * 0.25 - ke_true)[emissive].mean()
     err1 = np.abs(np.asarray(params["ke"]) - ke_true)[emissive].mean()
     assert err1 < 0.5 * err0, (err0, err1, losses)
+
+
+def _scaled(scene, theta):
+    return dataclasses.replace(
+        scene,
+        materials=dataclasses.replace(scene.materials, ke=scene.materials.ke * theta),
+    )
+
+
+def test_diff_sppm_grid_matches_dense_forward_and_grad(dim_box):
+    """The hash-grid differentiable path must reproduce the dense one —
+    image AND gradient — when the per-cell cap cannot truncate (k_per_cell
+    = n_photons makes the 27-cell candidate set a superset of every
+    in-radius photon, so the top-k sets coincide)."""
+    cam = _cam(8)
+
+    def render(theta, grid):
+        return sppm.render_sppm_differentiable(
+            _scaled(dim_box, theta), cam, jax.random.key(0),
+            gather_grid=grid, k_per_cell=KW["n_photons"], **KW,
+        )
+
+    img_d = np.asarray(render(jnp.float32(1.0), False))
+    img_g = np.asarray(render(jnp.float32(1.0), True))
+    np.testing.assert_allclose(img_g, img_d, rtol=1e-4, atol=1e-6)
+
+    g_d = float(jax.grad(lambda t: jnp.mean(render(t, False)))(jnp.float32(1.0)))
+    g_g = float(jax.grad(lambda t: jnp.mean(render(t, True)))(jnp.float32(1.0)))
+    assert np.isfinite(g_d) and g_d > 0
+    np.testing.assert_allclose(g_g, g_d, rtol=1e-3)
+
+
+def test_diff_sppm_grid_gradient_matches_finite_difference(dim_box):
+    """FD check THROUGH the grid path at realistic caps (k_per_cell=8):
+    truncation changes which photons contribute, but the truncated topology
+    is theta-invariant (uniform ke scaling moves no photon), so the
+    pathwise gradient must still match central differences."""
+    cam = _cam(8)
+
+    def loss(theta):
+        img = sppm.render_sppm_differentiable(
+            _scaled(dim_box, theta), cam, jax.random.key(0),
+            gather_grid=True, k_per_cell=8, **KW,
+        )
+        return jnp.mean(img)
+
+    g = float(jax.grad(loss)(jnp.float32(1.0)))
+    eps = 1e-2
+    fd = (loss(jnp.float32(1 + eps)) - loss(jnp.float32(1 - eps))) / (2 * eps)
+    assert np.isfinite(g) and float(fd) > 0
+    np.testing.assert_allclose(g, float(fd), rtol=1e-3)
+
+
+def test_diff_sppm_volume_grid_matches_dense_grad(dim_fog_box):
+    """Fog scene, gather_volume=True: the static-step hash-grid beam gather
+    must agree with the dense recorded-segment gather in value and in the
+    ke gradient (caps sized to cover: k_per_cell = n_photons)."""
+    cam = _cam(8)
+    kw = dict(KW, n_photons=192, num_pass=2, max_bounce=6, eye_bounce=8)
+
+    def render(theta, grid):
+        return sppm.render_sppm_differentiable(
+            _scaled(dim_fog_box, theta), cam, jax.random.key(4),
+            gather_volume=True, gather_grid=grid,
+            k_per_cell=kw["n_photons"], vol_steps=48, **kw,
+        )
+
+    img_d = np.asarray(render(jnp.float32(1.0), False))
+    img_g = np.asarray(render(jnp.float32(1.0), True))
+    assert np.isfinite(img_g).all() and img_g.mean() > 1e-5
+    np.testing.assert_allclose(img_g, img_d, rtol=1e-3, atol=1e-5)
+
+    g_d = float(jax.grad(lambda t: jnp.mean(render(t, False)))(jnp.float32(1.0)))
+    g_g = float(jax.grad(lambda t: jnp.mean(render(t, True)))(jnp.float32(1.0)))
+    assert np.isfinite(g_g) and g_d > 0
+    np.testing.assert_allclose(g_g, g_d, rtol=1e-3)
 
 
 def test_neon_sign_scene_renders_and_differentiates(neon):
