@@ -117,12 +117,19 @@ class MaterialTable:
         return self._tex(mat_id, 2, uv, self.ke[jnp.maximum(mat_id, 0)])
 
     def phong_exponent(self, mat_id, uv):
-        """material.h:712-727: |n_s/sqrt(3) * tex_rgb|; +inf passes through."""
+        """material.h:712-727: |n_s/sqrt(3) * tex_rgb|; +inf passes through.
+
+        The norm is epsilon-guarded: at v == 0 (mirror rows where filt is
+        forced to 0, or n_s == 0) sqrt's backward is 0/0, and the NaN would
+        leak THROUGH the jnp.where into the texture-atlas gradient
+        (0 * NaN = NaN) even though those rows' outputs are overridden —
+        atlas texels are optimizable parameters (optim.py `atlas_rgb`)."""
         safe = jnp.maximum(mat_id, 0)
         n_s = self.n_s[safe]
         filt = jnp.where(jnp.isinf(n_s), 0.0, n_s)[..., None] / jnp.sqrt(3.0)
         v = self._tex(mat_id, 3, uv, filt)
-        return jnp.where(jnp.isinf(n_s), jnp.inf, linalg.length(v))
+        len_v = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-30))
+        return jnp.where(jnp.isinf(n_s), jnp.inf, len_v)
 
     def bump_vector(self, mat_id, uv):
         """2*bm*(tex - 0.5); zero when the bump image is < 2x2

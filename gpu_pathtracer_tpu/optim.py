@@ -29,8 +29,25 @@ import optax
 from gpu_pathtracer_tpu.render.integrator import render_image
 
 
+def _get_param(materials, name: str) -> jnp.ndarray:
+    """Fetch an optimizable leaf by name.  Plain names are MaterialTable
+    fields; `atlas_rgb` addresses the packed texture-atlas texels (the
+    reference's single global RGB atlas, read_image_util.h:99-178), so
+    texture CONTENT is optimizable, not just per-material constants."""
+    if name == "atlas_rgb":
+        return materials.atlas.rgb
+    return getattr(materials, name)
+
+
 def _substitute(scene, params: Mapping[str, jnp.ndarray]):
-    mats = dataclasses.replace(scene.materials, **dict(params))
+    plain = {k: v for k, v in params.items() if k != "atlas_rgb"}
+    mats = scene.materials
+    if plain:
+        mats = dataclasses.replace(mats, **plain)
+    if "atlas_rgb" in params:
+        mats = dataclasses.replace(
+            mats, atlas=dataclasses.replace(mats.atlas, rgb=params["atlas_rgb"])
+        )
     return dataclasses.replace(scene, materials=mats)
 
 
@@ -62,16 +79,22 @@ def sppm_loss_fn(
     scene,
     camera,
     target: jnp.ndarray,  # (H, W, 3) linear radiance
-    n_photons: int = 512,
-    num_pass: int = 2,
-    max_bounce: int = 8,
-    eye_bounce: int = 8,
+    n_photons: int = 16384,
+    num_pass: int = 4,
+    max_bounce: int = 12,
+    eye_bounce: int = 12,
     **sppm_kw,
 ) -> Callable:
     """(params, key) -> scalar L2 loss between a DIFFERENTIABLE SPPM render
     and `target` — the emitter-optimization-through-the-photon-mapper loss
     (BASELINE config 5; the reference's SPPM, main.cu:1489-1869, is
-    forward-only)."""
+    forward-only).
+
+    Defaults target real optimization runs: at 256^2 pixels the
+    `pixels * photons` product crosses the 2^24 auto-dispatch threshold and
+    `render_sppm_differentiable` uses the hash-grid gathers, so these sizes
+    fit on one chip.  Scale `n_photons`/`num_pass` down for unit-test-sized
+    checks (the tests pass them explicitly)."""
     from gpu_pathtracer_tpu.render.sppm import render_sppm_differentiable
 
     def loss(params, key):
@@ -110,7 +133,7 @@ def optimize(
     """
     if key is None:
         key = jax.random.key(0)
-    params = {name: getattr(scene.materials, name) for name in param_names}
+    params = {name: _get_param(scene.materials, name) for name in param_names}
 
     if loss_fn is None:
         loss_fn = render_loss_fn(
