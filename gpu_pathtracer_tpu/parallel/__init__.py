@@ -25,6 +25,11 @@ material table all-reduced over ICI by GSPMD (the backward of a broadcast
 is a psum).
 """
 
+from gpu_pathtracer_tpu.parallel.dist import (  # noqa: F401
+    global_mesh,
+    host_local_slice,
+    init_distributed,
+)
 from gpu_pathtracer_tpu.parallel.shard import (  # noqa: F401
     make_mesh,
     render_image_distributed,

@@ -129,6 +129,11 @@ def main(argv=None):
     from gpu_pathtracer_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    # multi-host launch (SURVEY §2.7): no-op unless GPT_TPU_COORDINATOR /
+    # GPT_TPU_NUM_PROCESSES / GPT_TPU_PROCESS_ID (or AUTO) are set
+    from gpu_pathtracer_tpu.parallel.dist import init_distributed
+
+    init_distributed()
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 1:
         print(__doc__)
