@@ -18,13 +18,21 @@ apply_platform_env()  # sitecustomize forces the axon TPU plugin otherwise
 import jax  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-from test_golden import GOLDEN_DIR, render_pt_golden, render_sppm_golden  # noqa: E402
+from test_golden import (  # noqa: E402
+    GOLDEN_DIR,
+    render_fog_sppm_golden,
+    render_pt_golden,
+    render_sppm_golden,
+    render_sss_pt_golden,
+)
 
 
 def main():
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     np.save(GOLDEN_DIR / "pt_cornell_32.npy", render_pt_golden())
     np.save(GOLDEN_DIR / "sppm_box_16.npy", render_sppm_golden())
+    np.save(GOLDEN_DIR / "fog_sppm_16.npy", render_fog_sppm_golden())
+    np.save(GOLDEN_DIR / "sss_pt_32.npy", render_sss_pt_golden())
     print("golden fixtures written to", GOLDEN_DIR)
 
 

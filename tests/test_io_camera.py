@@ -124,3 +124,70 @@ class TestCamera:
 
 def linalg_dot(a, b):
     return np.sum(np.asarray(a) * np.asarray(b), axis=-1)
+
+
+def test_dof_decorrelated_estimator_matches_reference_structure(tmp_path):
+    """Documented DoF deviation (render_image docstring): the reference
+    draws ONE lens sample per DoF sample and reuses the camera ray for all
+    `sample_size` inner samples (pathtracing.h:277-280); render_image draws
+    a fresh lens sample every sample.  Both estimate the same (lens x path)
+    integral — this asserts the two estimators agree within MC noise on a
+    defocused scene (a structural bias, e.g. wrong normalization or lens
+    coupling, would shift the mean)."""
+    import jax
+
+    from gpu_pathtracer_tpu.models.scene import build_scene
+    from gpu_pathtracer_tpu.render.integrator import render_image, trace_paths
+    from gpu_pathtracer_tpu.utils.obj_io import load_scene
+
+    testscenes.make_cornell_box(tmp_path, spheres=True, sphere_subdiv=0)
+    scene = build_scene(load_scene(tmp_path, "box.obj"))
+    n = 12
+    cam = Camera.create(
+        eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
+        fovy_deg=40.0, width=n, height=n, aperture=0.3, focus_dist=1.2,
+    )
+    dof, spp, n_keys = 16, 4, 6
+
+    ours = []
+    for k in range(n_keys):
+        img = render_image(
+            scene, cam, jax.random.key(k), width=n, height=n,
+            sample_size=spp, dof_sample_size=dof, level=3,
+            hittable_pdf_weight=0.5,
+        )
+        assert np.isfinite(np.asarray(img)).all()
+        ours.append(float(img.mean()))
+
+    # reference-structured estimator: lens sample fixed within each group
+    ii, jj = jnp.meshgrid(
+        jnp.arange(n, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pi, pj = ii.reshape(-1) + 0.5, jj.reshape(-1) + 0.5
+    ref = []
+    for k in range(n_keys):
+        key = jax.random.key(100 + k)
+        total = jnp.zeros((n * n, 3))
+        for s in range(dof):
+            skey = jax.random.fold_in(key, s)
+            u1 = jax.random.uniform(jax.random.fold_in(skey, 0), (n * n,))
+            u2 = jax.random.uniform(jax.random.fold_in(skey, 1), (n * n,))
+            o, d = cam.generate_rays(pi, pj, u1, u2)
+            for m in range(spp):
+                total = total + trace_paths(
+                    scene, o, d, jax.random.fold_in(skey, 100 + m), level=3,
+                    hittable_pdf_weight=0.5,
+                )
+        ref.append(float((total / (dof * spp)).mean()))
+
+    # same expectation: the two estimator means must agree within 4 sigma of
+    # their combined standard error (deterministic given the fixed keys; a
+    # structural bias — wrong 1/n normalization, lens coupling — would be a
+    # multiple of the means themselves and blow far past this bound)
+    ours, ref = np.asarray(ours), np.asarray(ref)
+    se = np.sqrt(ours.var(ddof=1) / n_keys + ref.var(ddof=1) / n_keys)
+    diff = abs(ours.mean() - ref.mean())
+    assert diff < 4.0 * se + 0.02 * ref.mean(), (
+        ours.tolist(), ref.tolist(), diff, se
+    )
