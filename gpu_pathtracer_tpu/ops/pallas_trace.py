@@ -35,10 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = int(os.environ.get("GPT_TPU_RAY_BLOCK", "256"))
 TRI_TILE = int(os.environ.get("GPT_TPU_TRI_TILE", "512"))
-# Double-buffered DMA in the HBM-resident kernel.  Read at IMPORT time (the
-# call wrappers are jitted, so a later in-process toggle would silently hit
-# the jit cache) — like PALLAS_MAX and the other knobs, set it before import.
-DMA_PIPE = os.environ.get("GPT_TPU_DMA_PIPE", "0") != "0"
+# Double-buffered DMA in the HBM-resident kernel: tile j+1's fetch overlaps
+# tile j's pair compute.  ON by default since r04 (+5% on the 327k-tri
+# bench, bit-exact vs the threaded-BVH render in check_tpu_parity.py).
+# Read at IMPORT time (the call wrappers are jitted, so a later in-process
+# toggle would silently hit the jit cache) — like PALLAS_MAX and the other
+# knobs, set it before import.
+DMA_PIPE = os.environ.get("GPT_TPU_DMA_PIPE", "1") != "0"
 _INF = 3.4e38  # plain float: jnp scalars would be captured consts in the kernel
 # Conservative slack on the front-to-back lower bound: fl(bmin - bhi) can
 # exceed the true slab entry t by ~1 ulp (and normalized directions carry
