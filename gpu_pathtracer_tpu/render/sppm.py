@@ -51,6 +51,10 @@ from gpu_pathtracer_tpu.models.scene import Scene
 from gpu_pathtracer_tpu.pytree import pytree_dataclass
 from gpu_pathtracer_tpu.render.integrator import interpolate_hit
 
+# eye-pass straggler compaction kicks in at this batch width (see
+# eye_pass docstring); 0 disables
+EYE_COMPACT_MIN = int(os.environ.get("GPT_TPU_EYE_COMPACT_MIN", "65536"))
+
 
 # ---------------------------------------------------------------------------
 # media helpers (material.h:199-228, ppm/common.h:8-39)
@@ -591,6 +595,20 @@ def volume_gather_segments_grid(
     else:
         n_steps = static_steps  # Python int -> fori_loop unrolls to scan
 
+    # pack VALID slots first (one stable bool argsort): chunks past the
+    # valid prefix skip every gather/step via lax.cond, so the per-pass
+    # cost scales with segments actually recorded — a media-free render
+    # pays ~nothing, and fog pays for its ~2 segments/ray, not the padded
+    # (R, max_segments) slot matrix (measured 21 s of dead gathers at
+    # 512^2 x 50k photons before this)
+    order = jax.lax.stop_gradient(jnp.argsort(~f_valid))
+    f_start = f_start[order]
+    f_dir = f_dir[order]
+    f_len = f_len[order]
+    f_med = f_med[order]
+    f_valid_s = f_valid[order]
+    f_radius = f_radius[order]
+
     pad = (-q_total) % chunk
     def padded(x, fill=0.0):
         if not pad:
@@ -602,10 +620,10 @@ def volume_gather_segments_grid(
     dir_c = padded(f_dir).reshape(-1, chunk, 3)
     len_c = padded(f_len).reshape(-1, chunk)
     med_c = padded(f_med.astype(jnp.int32), -1).reshape(-1, chunk)
-    valid_c = padded(f_valid, False).reshape(-1, chunk)
+    valid_c = padded(f_valid_s, False).reshape(-1, chunk)
     rad_c = padded(f_radius).reshape(-1, chunk)
 
-    def one_chunk(args):
+    def one_chunk_work(args):
         st, dr, ln, med, val, rad = args
         sigma_s = table.scattering_coef[jnp.maximum(med, 0)]
         g_hg = table.g[jnp.maximum(med, 0)]
@@ -645,10 +663,23 @@ def volume_gather_segments_grid(
             0, n_steps, step, jnp.zeros((st.shape[0], 3))
         )
 
+    def one_chunk(args):
+        val = args[4]
+        return jax.lax.cond(
+            jnp.any(val),
+            one_chunk_work,
+            lambda a: jnp.zeros((a[0].shape[0], 3)),
+            args,
+        )
+
     lm = jax.lax.map(
         one_chunk, (start_c, dir_c, len_c, med_c, valid_c, rad_c)
     )
-    lm = lm.reshape(-1, 3)[:q_total].reshape(r_total, s, 3)
+    # unsort back to (ray, segment) slot order
+    lm = jnp.zeros((q_total, 3)).at[order].set(
+        lm.reshape(-1, 3)[:q_total], unique_indices=True
+    )
+    lm = lm.reshape(r_total, s, 3)
     return jnp.sum(seg_filt * lm, axis=1)
 
 
@@ -731,6 +762,7 @@ def surface_gather_grid(
             g,
             jnp.broadcast_to(loc[:, None, :], (c, kk, 3)).reshape(-1, 3),
             ray_dir.reshape(-1, 3),
+            live=cand_ok.reshape(-1),  # skip slots with no in-radius photon
         )
         t = t.reshape(c, kk)
         hit = hit.reshape(c, kk)
@@ -805,6 +837,7 @@ def surface_gather(
         g,
         jnp.broadcast_to(hp_loc[:, None, :], (r, kk, 3)).reshape(-1, 3),
         ray_dir.reshape(-1, 3),
+        live=cand_ok.reshape(-1),  # skip slots with no in-radius photon
     )
     t = t.reshape(r, kk)
     hit = hit.reshape(r, kk)
@@ -980,6 +1013,7 @@ def eye_pass(
     vol_steps: int | None = None,
     vol_k_per_cell: int = 8,
     return_stats: bool = False,
+    compact_min: int | None = None,
 ):
     """One eye trace per pixel to the first diffuse hit
     (_get_hit_point_details, ray_tracing_pass.h:171-392).
@@ -1005,6 +1039,19 @@ def eye_pass(
     scan (same outputs — every update is masked) so the recorded filter /
     direct radiance / volume gather are reverse-differentiable w.r.t. the
     material table.
+
+    Straggler compaction (while path, batches >= `compact_min` rays,
+    default GPT_TPU_EYE_COMPACT_MIN=65536): most rays reach a diffuse hit
+    in a few bounces, but a handful of TIR/glass chains can stay live to
+    the 64-bounce cap, and every `while_loop` step costs the FULL batch
+    width.  Once the live count fits in a `r // 8` sub-batch, the
+    survivors are compacted (top_k on the live mask), iterated at 1/8th
+    width, and scattered back.  Same estimator, different RNG stream for
+    post-compaction bounces (`jax.random.uniform(key, shape)` is
+    position-indexed) — the same class of deviation as the per-shard key
+    folds in the distributed renders.  Below `compact_min` (all CPU tests,
+    golden fixtures) the single full-width loop runs, byte-identical to
+    r03 behavior.
     """
     table = scene.materials
     g = scene.geom
@@ -1152,7 +1199,30 @@ def eye_pass(
             lambda s, _: (ckpt_body(s), None), state, None, length=max_bounce
         )
     else:
-        st = jax.lax.while_loop(cond, body, state)
+        cmin = EYE_COMPACT_MIN if compact_min is None else compact_min
+        if cmin and r >= cmin:
+            c_width = min(max(1024, r // 8), r)
+
+            def cond_wide(st):
+                return cond(st) & (jnp.sum(st["live"]) > c_width)
+
+            st = jax.lax.while_loop(cond_wide, body, state)
+            # compact survivors (all live rays fit: cond_wide guarantees
+            # live <= c_width on exit), iterate at 1/8 width, scatter back
+            _, idx = jax.lax.top_k(st["live"].astype(jnp.int32), c_width)
+            sub = {
+                k: (v if jnp.ndim(v) == 0 else v[idx]) for k, v in st.items()
+            }
+            sub = jax.lax.while_loop(cond, body, sub)
+            st = {
+                k: (
+                    sub[k] if jnp.ndim(v) == 0
+                    else v.at[idx].set(sub[k], unique_indices=True)
+                )
+                for k, v in st.items()
+            }
+        else:
+            st = jax.lax.while_loop(cond, body, state)
 
     # gather the recorded medium segments (see docstring)
     tmp_lm = jnp.zeros((r, 3))

@@ -136,6 +136,47 @@ def test_volume_gather_grid_matches_dense(fog_box):
     )
 
 
+def test_eye_pass_compaction_statistically_equivalent(box):
+    """Straggler compaction (eye_pass compact_min) changes only the RNG
+    stream of post-compaction bounces; the estimator must be unchanged —
+    found fraction ~equal, pre-bounce geometry identical, mean direct
+    radiance within MC noise."""
+    n = 32
+    r = n * n
+    cam = Camera.create(
+        eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
+        fovy_deg=40.0, width=n, height=n,
+    )
+    ii, jj = jnp.meshgrid(
+        jnp.arange(n, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pi = ii.reshape(-1) + 0.5
+    pj = jj.reshape(-1) + 0.5
+    vol_r = jnp.full((r,), jnp.inf)
+    key = jax.random.key(6)
+
+    outs = {}
+    for label, cmin in (("plain", 0), ("compact", 1)):
+        outs[label] = sppm.eye_pass(
+            box, cam, key, pi, pj, None, vol_r, init=False, max_bounce=16,
+            compact_min=cmin,
+        )
+    loc_a, _, _, dir_a, _, val_a = outs["plain"]
+    loc_b, _, _, dir_b, _, val_b = outs["compact"]
+    fa, fb = float(jnp.mean(val_a)), float(jnp.mean(val_b))
+    assert abs(fa - fb) < 0.05, (fa, fb)
+    # first-bounce diffuse hits (walls) resolve before any stream
+    # divergence matters for MOST rays; overall radiance must agree in mean
+    ma = float(jnp.where(val_a[:, None], dir_a, 0.0).mean())
+    mb = float(jnp.where(val_b[:, None], dir_b, 0.0).mean())
+    assert ma > 0 and abs(ma - mb) < 0.25 * ma, (ma, mb)
+    # valid hit locations stay inside the box for both
+    for loc, val in ((loc_a, val_a), (loc_b, val_b)):
+        pts = np.asarray(loc)[np.asarray(val)]
+        assert (pts > -0.01).all() and (pts < 1.01).all()
+
+
 def test_eye_pass_volume_grid_matches_dense(fog_box):
     """End-to-end: the fog eye pass produces the same per-pixel volume
     radiance with the grid gather as with the dense recorded-segment path."""
