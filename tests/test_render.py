@@ -165,3 +165,23 @@ def test_reproducible(cornell):
     img1 = np.asarray(render_image(cornell, cam, jax.random.key(7), **kw))
     img2 = np.asarray(render_image(cornell, cam, jax.random.key(7), **kw))
     np.testing.assert_array_equal(img1, img2)
+
+
+def test_trace_paths_return_stats(cornell):
+    """Cap-overflow stats API ("no silent caps"): the dense many-lights
+    regime sums over every emitter, so mis_targets_dropped must be 0, and
+    the radiance must equal the stats-free call exactly."""
+    r = 64
+    o = jnp.tile(jnp.array([[0.5, 0.5, 2.4]], jnp.float32), (r, 1))
+    t = jnp.linspace(-0.3, 0.3, r)
+    d = jnp.stack([t, jnp.zeros_like(t), -jnp.ones_like(t)], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    key = jax.random.key(2)
+
+    plain = trace_paths(cornell, o, d, key, level=4, hittable_pdf_weight=0.5)
+    col, stats = trace_paths(
+        cornell, o, d, key, level=4, hittable_pdf_weight=0.5,
+        return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(col), np.asarray(plain))
+    assert int(stats["mis_targets_dropped"]) == 0
