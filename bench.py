@@ -249,6 +249,33 @@ def main():
             detail["sppm_photons_per_sec"] = round(n_phot / ph_dt, 1)
             detail["seconds_photon_pass"] = round(ph_dt, 3)
 
+        # ---- BASELINE config 3: glass nested dielectrics + DoF @512^2 -----
+        if scene_kind == "cornell" and not os.environ.get("BENCH_SKIP_GLASS"):
+            gfolder = tempfile.mkdtemp(prefix="bench_glass_")
+            from gpu_pathtracer_tpu.models.scene import build_scene
+            from gpu_pathtracer_tpu.utils import testscenes
+            from gpu_pathtracer_tpu.utils.obj_io import load_scene
+
+            testscenes.make_cornell_box(
+                gfolder, spheres=True, sphere_subdiv=2, glass_priority=True
+            )
+            gscene = build_scene(load_scene(gfolder, "box.obj"))
+            gcam = Camera.create(
+                eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0), up=(0, 1, 0),
+                fovy_deg=40.0, width=width, height=height,
+                aperture=0.08, focus_dist=2.0,
+            )
+            gkw = dict(kw, dof_sample_size=2, sample_size=max(1, spp // 2))
+            gimg = render_image(gscene, gcam, jax.random.key(8), **gkw)
+            jax.block_until_ready(gimg)
+            t0 = time.time()
+            gimg = render_image(gscene, gcam, jax.random.key(9), **gkw)
+            jax.block_until_ready(gimg)
+            gdt = time.time() - t0
+            grays = width * height * gkw["sample_size"] * gkw["dof_sample_size"] * level
+            detail["rays_per_sec_fwd_glass_dof"] = round(grays / gdt, 1)
+            detail["seconds_fwd_glass_dof"] = round(gdt, 3)
+
         # ---- full SPPM iteration @512^2 (cornell + fog; VERDICT r04 #4) ----
         if scene_kind == "cornell" and not os.environ.get("BENCH_SKIP_SPPM"):
             sppm_size = int(os.environ.get("BENCH_SPPM_SIZE", "512"))
