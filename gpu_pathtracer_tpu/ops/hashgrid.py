@@ -94,10 +94,11 @@ def query_candidates(
     query_pos: jnp.ndarray,  # (R, 3)
     k_per_cell: int = 16,
     with_stats: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, ...]:
     """Candidate photon rows within the 27 cells around each query point.
 
-    Returns (idx, ok): (R, 27*K) int32 photon rows (clamped) and a bool mask.
+    Returns (idx, ok) — or (idx, ok, dropped) when `with_stats=True`:
+    (R, 27*K) int32 photon rows (clamped) and a bool mask.
     Callers MUST still distance-test the candidates (hash collisions and
     corner cells produce false positives; there are no false negatives for
     query radii <= cell_size).

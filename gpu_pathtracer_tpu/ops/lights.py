@@ -580,7 +580,7 @@ def hittable_pdf_sum_sparse(
     pivot: jnp.ndarray,  # (R, 3)
     max_k: int = MAX_POTENTIAL_TARGETS,
     with_stats: bool = False,
-) -> jnp.ndarray:
+) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """`hittable_pdf_sum` without any (R, E) table: AABB-collect candidate
     leaves via the light BVH, intersect only those K triangles, and compute
     their selection pdfs with bounded walks (the reference's exact

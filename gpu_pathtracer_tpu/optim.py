@@ -75,14 +75,26 @@ def render_loss_fn(
     return loss
 
 
+# Production-sized knobs for sppm_loss_fn: at 256^2 pixels the
+# `pixels * photons` product crosses the 2^24 auto-dispatch threshold and
+# `render_sppm_differentiable` uses the hash-grid gathers, so these sizes
+# fit on one chip.  Pass **SPPM_LOSS_PRODUCTION to sppm_loss_fn for real
+# optimization runs; the function's own defaults stay small so callers on
+# CPU (or `optimize(loss_fn=sppm_loss_fn(...))` smoke tests) don't silently
+# pick up a ~100x cost increase.
+SPPM_LOSS_PRODUCTION = dict(
+    n_photons=16384, num_pass=4, max_bounce=12, eye_bounce=12
+)
+
+
 def sppm_loss_fn(
     scene,
     camera,
     target: jnp.ndarray,  # (H, W, 3) linear radiance
-    n_photons: int = 16384,
-    num_pass: int = 4,
-    max_bounce: int = 12,
-    eye_bounce: int = 12,
+    n_photons: int = 512,
+    num_pass: int = 2,
+    max_bounce: int = 8,
+    eye_bounce: int = 8,
     **sppm_kw,
 ) -> Callable:
     """(params, key) -> scalar L2 loss between a DIFFERENTIABLE SPPM render
@@ -90,11 +102,8 @@ def sppm_loss_fn(
     (BASELINE config 5; the reference's SPPM, main.cu:1489-1869, is
     forward-only).
 
-    Defaults target real optimization runs: at 256^2 pixels the
-    `pixels * photons` product crosses the 2^24 auto-dispatch threshold and
-    `render_sppm_differentiable` uses the hash-grid gathers, so these sizes
-    fit on one chip.  Scale `n_photons`/`num_pass` down for unit-test-sized
-    checks (the tests pass them explicitly)."""
+    Defaults are smoke-test sized; real optimization runs should pass
+    `**SPPM_LOSS_PRODUCTION` (or explicit sizes)."""
     from gpu_pathtracer_tpu.render.sppm import render_sppm_differentiable
 
     def loss(params, key):

@@ -694,7 +694,7 @@ def surface_gather_grid(
     k_per_cell: int = 8,
     chunk: int = 16384,
     return_overflow: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, ...]:
     """Hash-grid surface photon gather (BASELINE.json: hash-grid radiance
     estimation replaces the reference's per-pass photon-BVH rebuild +
     traversal, bvh_building_photon.h / bvh_traversal_photon.h:108-205).
@@ -795,7 +795,7 @@ def surface_gather(
     hp_valid: jnp.ndarray,  # (R,)
     k_nearest: int = 16,
     return_overflow: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, ...]:
     """Surface photon gather with per-photon visibility re-check
     (_traverse_bvh_surface_photon, bvh_traversal_photon.h:108-205).
 

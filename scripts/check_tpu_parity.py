@@ -64,9 +64,10 @@ with tempfile.TemporaryDirectory() as td:
     print(f"scene: {scene_kind}")
     legs = [("pallas", {}), ("bvh", {"GPT_TPU_DISABLE_PALLAS": "1"})]
     if scene_kind == "mesh":
-        # double-buffered DMA variant of the HBM-resident kernel — only
-        # reachable on big scenes; interpret mode can't catch DMA races
-        legs.append(("pallas-pipe", {"GPT_TPU_DMA_PIPE": "1"}))
+        # DMA_PIPE defaults ON, so the plain "pallas" leg already covers the
+        # double-buffered kernel; this leg keeps the non-pipelined HBM kernel
+        # (still selectable via GPT_TPU_DMA_PIPE=0) validated too
+        legs.append(("pallas-nopipe", {"GPT_TPU_DMA_PIPE": "0"}))
     imgs = {}
     for name, env in legs:
         out = os.path.join(td, name + ".npy")
