@@ -302,8 +302,78 @@ def closest_hit(g, origin, direction, t_max=jnp.inf, live=None):
     return bvh_mod.traverse_closest(g.bvh, g.p, g.tol, origin, direction, t_max)
 
 
+def occluded_window_pallas_sorted(
+    g, origin, direction, t_near, t_far=jnp.inf, live=None
+):
+    """Pallas any-hit window query with coherence-sorted rays (the shadow-
+    class fast path: first accepted hit, no best-t refinement, whole-block
+    exit once every ray is resolved).  Returns (occ_near, occ_far) in the
+    CALLER's ray order; dead rays (live=False) report (False, False)."""
+    from gpu_pathtracer_tpu.ops import pallas_trace
+
+    r = origin.shape[0]
+    big = _pallas_big(g)
+    t_near = jnp.broadcast_to(jnp.asarray(t_near, jnp.float32), (r,))
+    t_far = jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (r,))
+    if live is not None:
+        t_far = jnp.where(live, t_far, -1.0)
+        t_near = jnp.where(live, t_near, -1.0)
+    sort = (
+        RAY_SORT_MIN > 0
+        and r >= RAY_SORT_MIN
+        and g.tri_cols.shape[0] >= RAY_SORT_MIN_TILES
+    )
+    if not sort:
+        return pallas_trace.occluded_window_pallas(
+            g.tri_cols, g.tile_aabb, origin, direction, t_near, t_far, big=big
+        )
+    perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction, live))
+    occ_n, occ_f = pallas_trace.occluded_window_pallas(
+        g.tri_cols, g.tile_aabb,
+        jnp.take(origin, perm, axis=0),
+        jnp.take(direction, perm, axis=0),
+        jnp.take(t_near, perm, axis=0),
+        jnp.take(t_far, perm, axis=0),
+        big=big,
+    )
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(r, dtype=perm.dtype), unique_indices=True
+    )
+    return jnp.take(occ_n, inv, axis=0), jnp.take(occ_f, inv, axis=0)
+
+
+def occluded_window(g, origin, direction, t_near, t_far=jnp.inf, live=None):
+    """Windowed any-hit: (occ_near, occ_far) = ("some hit with t < t_near",
+    "some hit with t <= t_far").  The photon-gather visibility verdict
+    (bvh_traversal_photon.h:151, `geom_hit && rec.t > len`) is
+    `occ_far & ~occ_near` with t_near = len*(1-tol), t_far = inf.
+
+    On TPU this runs the Pallas any-hit kernel (first accepted hit + block
+    early exit); elsewhere it derives the exact same bits from the closest
+    hit (∃ hit with t < bound  ⇔  closest t < bound), so verdicts agree
+    across backends."""
+    if _use_pallas(g):
+        return occluded_window_pallas_sorted(
+            g, origin, direction, t_near, t_far, live
+        )
+    t, _, _, hit = closest_hit(g, origin, direction, live=live)
+    if live is not None:
+        hit = hit & live  # non-Pallas closest_hit ignores the live hint
+    occ_near = hit & (t < t_near)
+    occ_far = hit & (t <= t_far)
+    return occ_near, occ_far
+
+
 def occluded(g, origin, direction, t_max, exclude_slot=None):
-    """Any-hit (shadow) test against a GeometrySet."""
+    """Any-hit (shadow) test against a GeometrySet.  On TPU (and without a
+    per-ray exclusion, which the Pallas kernel does not carry) this uses the
+    any-hit kernel; otherwise dense tiles or the threaded BVH walk."""
+    if exclude_slot is None and _use_pallas(g):
+        # the far bit uses t <= t_max, matching the dense path's boundary
+        _, occ_far = occluded_window_pallas_sorted(
+            g, origin, direction, t_max, t_max
+        )
+        return occ_far
     if _use_dense(g):
         return occluded_dense(
             g.p, g.tol, g.valid, origin, direction, t_max, exclude_slot

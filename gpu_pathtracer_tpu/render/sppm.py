@@ -758,15 +758,17 @@ def surface_gather_grid(
         ray_len = linalg.length(ray_vec)
         ray_dir = linalg.normalize(ray_vec, SMALL_EPS)
         c, kk = ray_dir.shape[:2]
-        t, _, _, hit = trace.closest_hit(
+        # any-hit window query: visible ⇔ some hit exists AND none before
+        # the photon's prev location — `geom_hit && rec.t > len`
+        # (bvh_traversal_photon.h:151) without paying closest-hit refinement
+        occ_near, occ_far = trace.occluded_window(
             g,
             jnp.broadcast_to(loc[:, None, :], (c, kk, 3)).reshape(-1, 3),
             ray_dir.reshape(-1, 3),
+            (ray_len * (1.0 - 1e-3)).reshape(-1),
             live=cand_ok.reshape(-1),  # skip slots with no in-radius photon
         )
-        t = t.reshape(c, kk)
-        hit = hit.reshape(c, kk)
-        visible = cand_ok & hit & (t >= ray_len * (1.0 - 1e-3))
+        visible = cand_ok & (occ_far & ~occ_near).reshape(c, kk)
 
         pdir = photons.direction[top_idx]
         fac = jnp.maximum(0.0, jnp.sum(nrm[:, None, :] * (-pdir), axis=-1))
@@ -833,15 +835,17 @@ def surface_gather(
     ray_len = linalg.length(ray_vec)
     ray_dir = linalg.normalize(ray_vec, SMALL_EPS)
     r, kk = ray_dir.shape[:2]
-    t, _, _, hit = trace.closest_hit(
+    # any-hit window query: visible ⇔ some hit exists AND none before the
+    # photon's prev location — `geom_hit && rec.t > len`
+    # (bvh_traversal_photon.h:151) without paying closest-hit refinement
+    occ_near, occ_far = trace.occluded_window(
         g,
         jnp.broadcast_to(hp_loc[:, None, :], (r, kk, 3)).reshape(-1, 3),
         ray_dir.reshape(-1, 3),
+        (ray_len * (1.0 - 1e-3)).reshape(-1),
         live=cand_ok.reshape(-1),  # skip slots with no in-radius photon
     )
-    t = t.reshape(r, kk)
-    hit = hit.reshape(r, kk)
-    visible = cand_ok & hit & (t >= ray_len * (1.0 - 1e-3))
+    visible = cand_ok & (occ_far & ~occ_near).reshape(r, kk)
 
     pdir = photons.direction[top_idx]  # (R, K, 3)
     fac = jnp.maximum(

@@ -101,3 +101,59 @@ def test_pallas_sorted_live_mask(monkeypatch):
     t_a, slot_a, hit_a = trace.closest_hit_pallas_sorted(g, o, d)
     np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_a))
     np.testing.assert_array_equal(np.asarray(slot_ref), np.asarray(slot_a))
+
+
+@pytest.mark.parametrize("n,r,big", [(700, 256, False), (1300, 300, True)])
+def test_anyhit_window_matches_closest_derived(n, r, big):
+    """The any-hit window bits must equal the bits derived from the dense
+    closest hit: ∃ hit with t < near ⇔ closest t < near (same for <= far)."""
+    key = jax.random.key(100 + n + r)
+    tris = _random_tris(key, n)
+    tol = intersect.triangle_tolerance(tris)
+    valid = jnp.ones((n,), bool)
+
+    o = jax.random.uniform(jax.random.fold_in(key, 2), (r, 3), minval=-3, maxval=3)
+    d = jax.random.normal(jax.random.fold_in(key, 3), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_near = jax.random.uniform(jax.random.fold_in(key, 4), (r,), minval=0.2, maxval=5.0)
+
+    t_ref, _, _, hit_ref = trace.closest_hit_dense(tris, tol, valid, o, d)
+    occ_near_ref = np.asarray(hit_ref & (t_ref < t_near))
+    occ_far_ref = np.asarray(hit_ref)  # t_far=inf: far bit == any hit at all
+
+    cols, aabb = pallas_trace.pack_tri_cols(tris, tol, valid)
+    occ_near, occ_far = pallas_trace.occluded_window_pallas(
+        cols, aabb, o, d, t_near, interpret=True, big=big
+    )
+    np.testing.assert_array_equal(occ_near_ref, np.asarray(occ_near))
+    np.testing.assert_array_equal(occ_far_ref, np.asarray(occ_far))
+
+
+def test_occluded_window_dispatch_live_mask():
+    """trace.occluded_window fallback path: live=False rays report no hits;
+    live rays match the closest-hit-derived bits."""
+    from types import SimpleNamespace
+
+    key = jax.random.key(21)
+    n, r = 900, 512
+    tris = _random_tris(key, n)
+    tol = intersect.triangle_tolerance(tris)
+    valid = jnp.ones((n,), bool)
+    cols, aabb = pallas_trace.pack_tri_cols(tris, tol, valid)
+    g = SimpleNamespace(p=tris, tol=tol, valid=valid, tri_cols=cols, tile_aabb=aabb)
+
+    o = jax.random.uniform(jax.random.fold_in(key, 2), (r, 3), minval=-3, maxval=3)
+    d = jax.random.normal(jax.random.fold_in(key, 3), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_near = jax.random.uniform(jax.random.fold_in(key, 4), (r,), minval=0.2, maxval=5.0)
+    live = jax.random.bernoulli(jax.random.fold_in(key, 5), 0.7, (r,))
+
+    occ_n, occ_f = trace.occluded_window(g, o, d, t_near, live=live)
+    t_ref, _, _, hit_ref = trace.closest_hit_dense(tris, tol, valid, o, d)
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(
+        np.asarray(hit_ref & (t_ref < t_near))[lv], np.asarray(occ_n)[lv]
+    )
+    np.testing.assert_array_equal(np.asarray(hit_ref)[lv], np.asarray(occ_f)[lv])
+    assert not np.asarray(occ_n)[~lv].any()
+    assert not np.asarray(occ_f)[~lv].any()
