@@ -47,6 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = int(os.environ.get("GPT_TPU_RAY_BLOCK", "256"))
 TRI_TILE = int(os.environ.get("GPT_TPU_TRI_TILE", "512"))
+# HBM-resident (big-scene) kernels use their own block/tile geometry: the
+# r05 sweep on the 327k-tri bench (scripts/profile_meshcfg.py) found
+# (TRI_TILE=2048, RAY_BLOCK=128) 46% faster than the VMEM-path's (512, 256)
+# — bigger tiles amortize the per-tile loop/DMA overhead, smaller ray
+# blocks tighten the block frustum so the front-to-back early exit fires
+# sooner.  Sub-tile culling (GPT_TPU_SUBCULL=1) measured NET NEGATIVE at
+# every (tile, block) tried: within a visited tile the Morton-adjacent
+# sub-tiles almost always pass their own slab test, so the per-sub-tile
+# branch + box reductions cost more than the pruned Woop work.
+RAY_BLOCK_BIG = int(os.environ.get("GPT_TPU_RAY_BLOCK_BIG", "128"))
+TRI_TILE_BIG = int(os.environ.get("GPT_TPU_TRI_TILE_BIG", "2048"))
 # Double-buffered DMA in the HBM-resident kernel: tile j+1's fetch overlaps
 # tile j's pair compute.  ON by default since r04 (+5% on the 327k-tri
 # bench, bit-exact vs the threaded-BVH render in check_tpu_parity.py).
@@ -55,8 +66,10 @@ TRI_TILE = int(os.environ.get("GPT_TPU_TRI_TILE", "512"))
 # knobs, set it before import.
 DMA_PIPE = os.environ.get("GPT_TPU_DMA_PIPE", "1") != "0"
 # Sub-tile (128-lane) AABB culling inside visited tiles; rows 10-15 of the
-# tile SoA carry the sub-tile boxes.  OFF only for A/B measurement.
-SUBCULL = os.environ.get("GPT_TPU_SUBCULL", "1") != "0"
+# tile SoA carry the sub-tile boxes.  Default OFF — measured net negative
+# on the mesh bench at every config (see the RAY_BLOCK_BIG note above);
+# kept selectable for future scenes where in-tile occupancy is sparse.
+SUBCULL = os.environ.get("GPT_TPU_SUBCULL", "0") != "0"
 SUB_LANES = 128
 _INF = 3.4e38  # plain float: jnp scalars would be captured consts in the kernel
 # Conservative slack on the front-to-back lower bound: fl(bmin - bhi) can
@@ -74,7 +87,13 @@ def _n_sub(tile: int) -> int:
     return 1
 
 
-def pack_tri_cols(p, tol, valid, tile: int = TRI_TILE):
+# mirror of ops/trace.py's GPT_TPU_PALLAS_MAX (the VMEM-resident cap): the
+# packer must pick the big-path tile geometry for exactly the scenes the
+# dispatcher will route to the HBM-resident kernels
+PALLAS_MAX = int(os.environ.get("GPT_TPU_PALLAS_MAX", "131072"))
+
+
+def pack_tri_cols(p, tol, valid, tile: int | None = None):
     """(T, 3, 3) triangles -> (NT, 16, TK) f32 tile SoA + (NT, 8) tile AABBs.
 
     Per tile, rows 0-8 are v1xyz v2xyz v3xyz columns, row 9 the per-triangle
@@ -85,8 +104,14 @@ def pack_tri_cols(p, tol, valid, tile: int = TRI_TILE):
     zeroed (degenerate -> det == 0 -> miss).  Tile-major layout so the
     kernel indexes tiles on the array's major dim (the Mosaic-native
     dynamic index).
+
+    `tile=None` picks the dispatch-matched geometry: TRI_TILE_BIG for
+    scenes the HBM-resident kernels will serve (> PALLAS_MAX triangles),
+    TRI_TILE for VMEM-resident ones.
     """
     t = p.shape[0]
+    if tile is None:
+        tile = TRI_TILE_BIG if t > PALLAS_MAX else TRI_TILE
     pad = (-t) % tile
     pz = jnp.where(valid[:, None, None], p, 0.0)
     tolz = jnp.where(valid, tol, jnp.inf)
@@ -691,6 +716,7 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
     r = rays.shape[0]
     n_tiles = tri_cols.shape[0]
     tile = tri_cols.shape[2]
+    RAY_BLOCK = RAY_BLOCK_BIG  # big-path block geometry (see knob note)
     n_blocks = r // RAY_BLOCK
     order = _block_tile_order(rays, tile_aabb, n_blocks)
     pipe = DMA_PIPE
@@ -813,7 +839,8 @@ def _anyhit_call(tri_cols, tile_aabb, rays, *, interpret: bool, big: bool):
     r = rays.shape[0]
     n_tiles = tri_cols.shape[0]
     tile = tri_cols.shape[2]
-    n_blocks = r // RAY_BLOCK
+    block = RAY_BLOCK_BIG if big else RAY_BLOCK
+    n_blocks = r // block
     order = _block_tile_order(rays, tile_aabb, n_blocks)
     if big:
         kernel = functools.partial(
@@ -834,7 +861,7 @@ def _anyhit_call(tri_cols, tile_aabb, rays, *, interpret: bool, big: bool):
         if big:
             in_specs = [
                 pl.BlockSpec(
-                    (RAY_BLOCK, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                    (block, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs
                 tri_spec,
@@ -842,7 +869,7 @@ def _anyhit_call(tri_cols, tile_aabb, rays, *, interpret: bool, big: bool):
         else:
             in_specs = [
                 pl.BlockSpec(
-                    (RAY_BLOCK, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                    (block, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
                 tri_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs
@@ -853,25 +880,25 @@ def _anyhit_call(tri_cols, tile_aabb, rays, *, interpret: bool, big: bool):
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(
-                    (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                    (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                    (block, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
             ),
             scratch_shapes=scratch_shapes,
         )
         args = (
             order[c0 : c0 + nb].reshape(-1),
-            rays[c0 * RAY_BLOCK : (c0 + nb) * RAY_BLOCK],
+            rays[c0 * block : (c0 + nb) * block],
         )
         args += (tile_aabb, tri_cols) if big else (tri_cols, tile_aabb)
         o_n, o_f = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), bool),
-                jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), bool),
+                jax.ShapeDtypeStruct((nb * block, 1), bool),
+                jax.ShapeDtypeStruct((nb * block, 1), bool),
             ),
             interpret=interpret,
         )(*args)
@@ -935,7 +962,7 @@ def closest_hit_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     r = origin.shape[0]
-    pad = (-r) % RAY_BLOCK
+    pad = (-r) % (RAY_BLOCK_BIG if big else RAY_BLOCK)
     t_max_b = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), (r,)
     ).astype(jnp.float32)
@@ -992,7 +1019,7 @@ def occluded_window_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     r = origin.shape[0]
-    pad = (-r) % RAY_BLOCK
+    pad = (-r) % (RAY_BLOCK_BIG if big else RAY_BLOCK)
     t_far_b = jnp.broadcast_to(
         jnp.asarray(t_far, jnp.float32), (r,)
     ).astype(jnp.float32)

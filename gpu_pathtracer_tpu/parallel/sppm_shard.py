@@ -38,7 +38,8 @@ from gpu_pathtracer_tpu.render import sppm as sppm_mod
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_photons", "max_bounce", "stack_size", "mesh"),
+    static_argnames=("n_photons", "max_bounce", "stack_size", "mesh",
+                     "differentiable"),
 )
 def photon_pass_distributed(
     scene,
@@ -47,6 +48,7 @@ def photon_pass_distributed(
     mesh: Mesh,
     max_bounce: int = 16,
     stack_size: int = MATERIAL_STACK_SIZE,
+    differentiable: bool = False,
 ) -> sppm_mod.Photons:
     """Photon tracing sharded over `mesh`; returns the full (replicated)
     photon map after an ICI all-gather.
@@ -75,6 +77,7 @@ def photon_pass_distributed(
         photons = sppm_mod.photon_pass(
             scene, local_key, n_photons=local,
             max_bounce=max_bounce, stack_size=stack_size,
+            differentiable=differentiable,
         )
         # photon-map all-gather over ICI (SURVEY.md §2.7): every chip ends
         # with the full map, tiled in shard order along the photon axis

@@ -1343,7 +1343,8 @@ def initial_radius(
     static_argnames=(
         "width", "height", "n_photons", "num_pass", "max_bounce",
         "eye_bounce", "stack_size", "gather_volume", "k_nearest",
-        "gather_grid", "k_per_cell", "vol_steps",
+        "gather_grid", "k_per_cell", "vol_steps", "photon_pass_fn",
+        "pixel_sharding",
     ),
 )
 def render_sppm_differentiable(
@@ -1364,6 +1365,8 @@ def render_sppm_differentiable(
     gather_grid: bool | None = None,
     k_per_cell: int = 8,
     vol_steps: int = 64,
+    photon_pass_fn=None,
+    pixel_sharding=None,
 ) -> jnp.ndarray:
     """Fully jitted, reverse-differentiable SPPM render: one functional
     `lax.scan` over passes whose carried `HitPoints` radiance is
@@ -1392,6 +1395,14 @@ def render_sppm_differentiable(
     grid's step loop uses the static `vol_steps` bound (segments needing
     more sample points lose their tail; see volume_gather_segments_grid).
 
+    Scale-out hooks mirror `render_sppm`'s (the BASELINE north star composes
+    them with differentiation: "parameter gradients all-reduced over ICI"
+    THROUGH the photon mapper): `photon_pass_fn` swaps in the mesh-sharded
+    photon tracer (must accept the same signature incl. `differentiable`),
+    `pixel_sharding` (a NamedSharding) pins the per-pixel wavefront to the
+    mesh so eye pass + gathers partition under GSPMD while grads of the
+    replicated material table arrive all-reduced.
+
     Returns (H, W, 3) linear radiance.
     """
     import dataclasses
@@ -1406,6 +1417,9 @@ def render_sppm_differentiable(
     )
     pix_i = ii.reshape(-1)
     pix_j = jj.reshape(-1)
+    if pixel_sharding is not None:
+        pix_i = jax.lax.with_sharding_constraint(pix_i, pixel_sharding)
+        pix_j = jax.lax.with_sharding_constraint(pix_j, pixel_sharding)
 
     eye_fn = functools.partial(
         eye_pass, max_bounce=eye_bounce, stack_size=stack_size,
@@ -1441,7 +1455,8 @@ def render_sppm_differentiable(
 
     def one_pass(hp: HitPoints, it):
         pkey = jax.random.fold_in(key, 1000 + it)
-        photons = photon_pass(
+        pp = photon_pass if photon_pass_fn is None else photon_pass_fn
+        photons = pp(
             scene, pkey, n_photons=n_photons, max_bounce=max_bounce,
             stack_size=stack_size, differentiable=True,
         )

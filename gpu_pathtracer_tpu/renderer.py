@@ -103,10 +103,42 @@ def render_from_config(cfg: RenderConfig, key=None) -> np.ndarray:
                 f"{out_prefix}_pts.ppm",
             )
     if cfg.render_mode == 2:
-        from gpu_pathtracer_tpu.render.sppm import render_sppm
+        if cfg.shard_rays:
+            # config-driven scale-out (reference parity target: the 2-arg
+            # CLI drives the full machine, main.cu:71-72): photon pass
+            # mesh-sharded + pixel arrays GSPMD-sharded over all devices
+            from gpu_pathtracer_tpu.parallel.sppm_shard import (
+                render_sppm_distributed,
+            )
 
-        with _log("SPPM render"):
-            img = render_sppm(scene, camera, cfg, key, output_prefix=out_prefix)
+            with _log(f"SPPM render (sharded over {jax.device_count()} devices)"):
+                img = render_sppm_distributed(
+                    scene, camera, cfg, key, output_prefix=out_prefix
+                )
+        else:
+            from gpu_pathtracer_tpu.render.sppm import render_sppm
+
+            with _log("SPPM render"):
+                img = render_sppm(
+                    scene, camera, cfg, key, output_prefix=out_prefix
+                )
+    elif cfg.shard_rays:
+        from gpu_pathtracer_tpu.parallel.shard import render_image_distributed
+
+        with _log(f"path-tracing render (sharded over {jax.device_count()} devices)"):
+            img = render_image_distributed(
+                scene,
+                camera,
+                key,
+                width=cfg.image_width,
+                height=cfg.image_height,
+                sample_size=cfg.pathtracing_sample_size,
+                dof_sample_size=cfg.dof_sample_size,
+                level=cfg.pathtracing_level,
+                hittable_pdf_weight=cfg.hittable_pdf_weight,
+                stack_size=cfg.max_stack,
+            )
+            img = np.asarray(jax.block_until_ready(img))
     else:
         with _log("path-tracing render"):
             img = render_image(

