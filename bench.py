@@ -79,6 +79,8 @@ def _bench_sppm_iteration(scene, camera, w, h, n_phot):
 
     from gpu_pathtracer_tpu.render import sppm
 
+    import numpy as _np
+
     r = w * h
     ii, jj = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
@@ -87,6 +89,11 @@ def _bench_sppm_iteration(scene, camera, w, h, n_phot):
     pix_i = ii.reshape(-1)
     pix_j = jj.reshape(-1)
     use_grid = r * n_phot > (1 << 24)
+    # mirror render_sppm: medium-free scenes skip segment recording
+    has_medium = bool(_np.any(
+        _np.asarray(scene.materials.scattering_coef)
+        + _np.asarray(scene.materials.absorption_coef) > 0
+    ))
     eye_jit = jax.jit(
         functools.partial(sppm.eye_pass, max_bounce=64, volume_grid=use_grid),
         static_argnames=("init",),
@@ -136,7 +143,7 @@ def _bench_sppm_iteration(scene, camera, w, h, n_phot):
             scene, camera, jax.random.fold_in(pkey, 1),
             pix_i + jax.random.uniform(jax.random.fold_in(pkey, 2), (r,)),
             pix_j + jax.random.uniform(jax.random.fold_in(pkey, 3), (r,)),
-            photons, hp.volume_radius, init=False,
+            photons if has_medium else None, hp.volume_radius, init=False,
         )
         hp = dataclasses.replace(
             hp, loc=jnp.where(valid[..., None], loc, jnp.inf), normal=nrm,

@@ -337,7 +337,9 @@ def _pair_anyhit(ctx: _Ctx, tv, occ_near, occ_far, budget, *, tile: int):
     """Any-hit pair compute: sets per-ray bits for "hit with t <= near cap"
     and "hit with t <= far cap" (rows 7 / 6 of the ray block).  `budget` is
     the per-ray remaining window top (-1 for resolved rays), used for the
-    sub-tile culls only."""
+    sub-tile culls only.  The bits are int32 0/1 vectors, NOT bool: Mosaic
+    fails to legalize `scf.if` whose results include i1 vectors (the
+    closest-hit kernels' f32/i32 carries never hit this)."""
     nsub = _n_sub(tile)
     f = tile // nsub
 
@@ -348,8 +350,13 @@ def _pair_anyhit(ctx: _Ctx, tv, occ_near, occ_far, budget, *, tile: int):
         # STRICT < so `occ_far & ~occ_near` with t_near = len*(1-tol) equals
         # the closest-hit verdict `hit & (t >= len*(1-tol))` bit-for-bit
         hit_near = hit_far & (t < ctx.t_near)
-        occ_far = occ_far | jnp.any(hit_far, axis=1, keepdims=True)
-        occ_near = occ_near | jnp.any(hit_near, axis=1, keepdims=True)
+        occ_far = jnp.maximum(
+            occ_far, jnp.any(hit_far, axis=1, keepdims=True).astype(jnp.int32)
+        )
+        occ_near = jnp.maximum(
+            occ_near,
+            jnp.any(hit_near, axis=1, keepdims=True).astype(jnp.int32),
+        )
         return occ_near, occ_far
 
     if nsub == 1:
@@ -550,9 +557,10 @@ def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
 def _anyhit_budget(ctx: _Ctx, occ_near, occ_far):
     """Per-ray remaining window top.  occ_near implies fully resolved
     (near <= far, so a near hit sets both bits): budget -1 culls all its
-    work.  A far-resolved ray still needs near hits: budget = near cap."""
+    work.  A far-resolved ray still needs near hits: budget = near cap.
+    The bits are int32 0/1 (see _pair_anyhit)."""
     return jnp.where(
-        occ_near, -1.0, jnp.where(occ_far, ctx.t_near, ctx.t_cap)
+        occ_near != 0, -1.0, jnp.where(occ_far != 0, ctx.t_near, ctx.t_cap)
     )
 
 
@@ -587,7 +595,7 @@ def _anyhit_kernel(order_ref, rays_ref, tris_ref, aabb_ref,
         j_next = jnp.where(improve, j + 1, jnp.int32(n_tiles))
         return j_next, occ_near, occ_far
 
-    occ0 = jnp.zeros((ctx.rb, 1), bool)
+    occ0 = jnp.zeros((ctx.rb, 1), jnp.int32)
     _, occ_near, occ_far = jax.lax.while_loop(
         loop_cond, tile_body, (jnp.int32(0), occ0, occ0)
     )
@@ -618,7 +626,7 @@ def _anyhit_kernel_big(order_ref, rays_ref, aabb_ref, tris_hbm,
             tris_hbm.at[ti], scratch_ref.at[slot], sem_ref.at[slot]
         ).start()
 
-    occ0 = jnp.zeros((ctx.rb, 1), bool)
+    occ0 = jnp.zeros((ctx.rb, 1), jnp.int32)
     budget0 = _anyhit_budget(ctx, occ0, occ0)
     ah0, ti0 = probe(jnp.int32(0), budget0)
 
@@ -897,8 +905,8 @@ def _anyhit_call(tri_cols, tile_aabb, rays, *, interpret: bool, big: bool):
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((nb * block, 1), bool),
-                jax.ShapeDtypeStruct((nb * block, 1), bool),
+                jax.ShapeDtypeStruct((nb * block, 1), jnp.int32),
+                jax.ShapeDtypeStruct((nb * block, 1), jnp.int32),
             ),
             interpret=interpret,
         )(*args)
@@ -1049,4 +1057,4 @@ def occluded_window_pallas(
         interpret=interpret,
         big=big,
     )
-    return occ_near[:r], occ_far[:r]
+    return occ_near[:r] != 0, occ_far[:r] != 0

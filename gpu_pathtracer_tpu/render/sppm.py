@@ -230,9 +230,17 @@ def photon_pass(
     uv = jnp.sum(bary[..., None] * lt.tri_uv[leaf], axis=-2)
     mat_id = g.mat_id[lt.geom_slot[leaf]]
 
-    # photon color normalized to constant mean energy (photon_pass.h:134-137)
+    # photon color normalized to constant mean energy (photon_pass.h:134-137).
+    # Double-where (not a bare maximum floor): d(x/y)/dy = -x/y^2 and
+    # (1e-20)^2 underflows f32 to 0, so a floored denominator becomes an
+    # inf in reverse even under a zero cotangent (see the RR
+    # renormalization below for the case that actually fired)
     color = table.emission_color(mat_id, uv)
-    color = color * (max_energy / jnp.maximum(jnp.mean(color, axis=-1), 1e-20))[..., None]
+    _mean0 = jnp.mean(color, axis=-1)
+    _mean0_safe = jnp.where(_mean0 > 1e-20, _mean0, 1.0)
+    color = color * jnp.where(
+        _mean0 > 1e-20, max_energy / _mean0_safe, 0.0
+    )[..., None]
     mean_color = jnp.mean(color, axis=-1)
 
     # fake incoming ray (Triangle::get_random_point_on_surface,
@@ -346,8 +354,15 @@ def photon_pass(
             absorbed & ref.diffuse & ((nb > 1) | st["scattered_ever"])
         )
         new_color = st["color"] * ref.k
-        mean_tmp = jnp.maximum(jnp.mean(new_color, axis=-1), 1e-20)
-        new_color = new_color * (mean_color / mean_tmp)[..., None]
+        # double-where renormalization: max(mean, 1e-20) alone is a NaN
+        # mine in reverse — d(x/y)/dy = -x/y^2 and (1e-20)^2 UNDERFLOWS to
+        # 0 in f32, so dead photons (k = 0 at pure emitters) turned the
+        # masked cotangent into 0 * inf = NaN, which rode the shared
+        # max_energy normalization into d/d ke of every emitter
+        mean_raw = jnp.mean(new_color, axis=-1)
+        mean_safe = jnp.where(mean_raw > 1e-20, mean_raw, 1.0)
+        scale = jnp.where(mean_raw > 1e-20, mean_color / mean_safe, 0.0)
+        new_color = new_color * scale[..., None]
         survive = do_rr & ~absorbed
         color = jnp.where(survive[..., None], new_color, st["color"])
         dcs = jnp.where(survive, False, dcs)
@@ -721,6 +736,15 @@ def surface_gather_grid(
         jax.lax.stop_gradient(photons.pos), sphot,
         jax.lax.stop_gradient(r_max),
     )
+    # bucket-ordered payload copies: ONE (P,) row gather each per pass, so
+    # per-chunk candidate payloads come from contiguous K-slice gathers
+    # (gather_cell_slices) instead of 27*K independent row gathers — the
+    # row-gather form measured ~17% of the whole SPPM iteration on TPU
+    si = grid.sorted_idx
+    pos_s = photons.pos[si]
+    prev_s = photons.prev[si]
+    dir_s = photons.direction[si]
+    color_s = photons.color[si]
 
     r_total = hp_loc.shape[0]
     pad = (-r_total) % chunk
@@ -737,11 +761,14 @@ def surface_gather_grid(
 
     def one_chunk(args):
         loc, nrm, rad, val = args
-        cand, ok, cell_drop = hashgrid.query_candidates(
+        starts, ok3, cell_drop = hashgrid.query_cell_ranges(
             grid, loc, k_per_cell, with_stats=True
-        )  # (C, 27K)
+        )  # (C, 27), (C, 27, K)
         cell_drop = jnp.where(val, cell_drop, 0)
-        cpos = photons.pos[cand]  # (C, 27K, 3)
+        ok = ok3.reshape(ok3.shape[0], -1)  # (C, 27K) — query_candidates order
+        cpos = hashgrid.gather_cell_slices(
+            jax.lax.stop_gradient(pos_s), starts, k_per_cell
+        )  # (C, 27K, 3)
         d2 = jnp.sum((cpos - loc[:, None, :]) ** 2, axis=-1)
         in_r = ok & val[:, None] & (d2 <= rad[:, None] ** 2)
         # candidate choice is topology, not value: stop_gradient keeps the
@@ -750,10 +777,14 @@ def surface_gather_grid(
         key_val = jax.lax.stop_gradient(jnp.where(in_r, -d2, -jnp.inf))
         k = min(k_nearest, key_val.shape[-1])
         top_val, top_pos = jax.lax.top_k(key_val, k)  # (C, K)
-        top_idx = jnp.take_along_axis(cand, top_pos, axis=-1)
+        slot_mat = (
+            starts[:, :, None]
+            + jnp.arange(k_per_cell, dtype=jnp.int32)[None, None, :]
+        ).reshape(starts.shape[0], -1)  # (C, 27K) bucket-order slots
+        top_idx = jnp.take_along_axis(slot_mat, top_pos, axis=-1)
         cand_ok = jnp.isfinite(top_val)
 
-        prev = photons.prev[top_idx]  # (C, K, 3)
+        prev = prev_s[top_idx]  # (C, K, 3)
         ray_vec = prev - loc[:, None, :]
         ray_len = linalg.length(ray_vec)
         ray_dir = linalg.normalize(ray_vec, SMALL_EPS)
@@ -770,10 +801,10 @@ def surface_gather_grid(
         )
         visible = cand_ok & (occ_far & ~occ_near).reshape(c, kk)
 
-        pdir = photons.direction[top_idx]
+        pdir = dir_s[top_idx]
         fac = jnp.maximum(0.0, jnp.sum(nrm[:, None, :] * (-pdir), axis=-1))
         flux = jnp.sum(
-            (visible * fac)[..., None] * photons.color[top_idx], axis=1
+            (visible * fac)[..., None] * color_s[top_idx], axis=1
         )
         knn_drop = jnp.maximum(jnp.sum(in_r, axis=-1) - k, 0)
         return flux, jnp.sum(visible, axis=-1), jnp.sum(cell_drop + knn_drop)
@@ -1205,26 +1236,45 @@ def eye_pass(
     else:
         cmin = EYE_COMPACT_MIN if compact_min is None else compact_min
         if cmin and r >= cmin:
-            c_width = min(max(1024, r // 8), r)
+            # multi-stage: each stage runs while the live count exceeds the
+            # NEXT stage's width, then top_k-compacts the survivors and
+            # recurses at 1/8 width (floor 1024).  The long TIR/glass tail
+            # (a handful of rays alive to the 64-bounce cap) thus iterates
+            # at ~1k width instead of r//8 — each while step costs the full
+            # batch width, so the tail was most of the eye pass's steps.
+            widths = []
+            wcur = r
+            while max(1024, wcur // 8) < wcur:
+                wcur = max(1024, wcur // 8)
+                widths.append(wcur)
+                if wcur == 1024:
+                    break
 
-            def cond_wide(st):
-                return cond(st) & (jnp.sum(st["live"]) > c_width)
+            def staged(st, width_list):
+                if not width_list:
+                    return jax.lax.while_loop(cond, body, st)
+                cw = width_list[0]
 
-            st = jax.lax.while_loop(cond_wide, body, state)
-            # compact survivors (all live rays fit: cond_wide guarantees
-            # live <= c_width on exit), iterate at 1/8 width, scatter back
-            _, idx = jax.lax.top_k(st["live"].astype(jnp.int32), c_width)
-            sub = {
-                k: (v if jnp.ndim(v) == 0 else v[idx]) for k, v in st.items()
-            }
-            sub = jax.lax.while_loop(cond, body, sub)
-            st = {
-                k: (
-                    sub[k] if jnp.ndim(v) == 0
-                    else v.at[idx].set(sub[k], unique_indices=True)
-                )
-                for k, v in st.items()
-            }
+                def cond_stage(s):
+                    return cond(s) & (jnp.sum(s["live"]) > cw)
+
+                st = jax.lax.while_loop(cond_stage, body, st)
+                # all live rays fit: cond_stage guarantees live <= cw here
+                _, idx = jax.lax.top_k(st["live"].astype(jnp.int32), cw)
+                sub = {
+                    k: (v if jnp.ndim(v) == 0 else v[idx])
+                    for k, v in st.items()
+                }
+                sub = staged(sub, width_list[1:])
+                return {
+                    k: (
+                        sub[k] if jnp.ndim(v) == 0
+                        else v.at[idx].set(sub[k], unique_indices=True)
+                    )
+                    for k, v in st.items()
+                }
+
+            st = staged(state, widths)
         else:
             st = jax.lax.while_loop(cond, body, state)
 
@@ -1582,14 +1632,20 @@ def render_sppm(
     # dense recorded-segment gather for tiny workloads; hash-grid beams once
     # the (segments x photons) product would dominate
     use_vol_grid = r * n_phot > (1 << 24)
-    # "no silent caps": with GPT_TPU_CAP_STATS=1 every pass logs how much
-    # work its fixed-capacity ops dropped (segments, beam steps, gather
-    # candidates) so truncation bias is auditable instead of invisible
+    # "no silent caps": overflow counters are ALWAYS collected (cheap
+    # scalars riding the pass outputs) and summarized once at end of
+    # render; GPT_TPU_CAP_STATS=1 additionally logs them per pass.  The
+    # reference's gather is unbounded (bvh_traversal_photon.h:108-205), so
+    # with GPT_TPU_AUTO_CAPS (default on) a pass that drops more than 1%%
+    # of its in-radius candidates re-runs its gather with doubled
+    # k_nearest/k_per_cell until the drop is negligible — truncation bias
+    # is corrected, not merely reported.
     cap_stats = os.environ.get("GPT_TPU_CAP_STATS", "0") != "0"
+    auto_caps = os.environ.get("GPT_TPU_AUTO_CAPS", "1") != "0"
     eye_jit = jax.jit(
         functools.partial(
             eye_pass, max_bounce=64, stack_size=cfg.max_stack,
-            volume_grid=use_vol_grid, return_stats=cap_stats,
+            volume_grid=use_vol_grid, return_stats=True,
         ),
         static_argnames=("init",),
     )
@@ -1693,14 +1749,26 @@ def render_sppm(
     # dense all-pairs for tiny workloads; hash grid once pixels*photons is
     # big enough that the O(R*P) distance matrix dominates (BASELINE.json:
     # hash-grid radiance estimation)
-    if r * n_phot > (1 << 24):
-        gather_jit = jax.jit(functools.partial(
-            surface_gather_grid, k_nearest=16, return_overflow=cap_stats
-        ))
-    else:
-        gather_jit = jax.jit(functools.partial(
-            surface_gather, k_nearest=16, return_overflow=cap_stats
-        ))
+    use_surf_grid = r * n_phot > (1 << 24)
+    _gather_cache = {}
+
+    def make_gather(kn: int, kpc: int):
+        if (kn, kpc) not in _gather_cache:
+            if use_surf_grid:
+                _gather_cache[(kn, kpc)] = jax.jit(functools.partial(
+                    surface_gather_grid, k_nearest=kn, k_per_cell=kpc,
+                    return_overflow=True,
+                ))
+            else:
+                _gather_cache[(kn, kpc)] = jax.jit(functools.partial(
+                    surface_gather, k_nearest=kn, return_overflow=True,
+                ))
+        return _gather_cache[(kn, kpc)]
+
+    k_nearest_cur = int(os.environ.get("GPT_TPU_K_NEAREST", "16"))
+    k_per_cell_cur = int(os.environ.get("GPT_TPU_K_PER_CELL", "8"))
+    # the dense gather's k_nearest cannot exceed the photon count
+    k_nearest_max = int(os.environ.get("GPT_TPU_AUTO_CAPS_MAX", "256"))
 
     @jax.jit
     def update(hp: HitPoints, flux, iteration):
@@ -1744,6 +1812,23 @@ def render_sppm(
         mngr.save(it, args=ocp.args.StandardSave(tree))
 
     num_pass = cfg.ppm_num_pass
+    # medium-free scenes skip the recorded-segment machinery entirely: with
+    # volume_photons=None the eye pass's per-bounce segment-slot updates
+    # (7 arrays x (R, max_segments) of where-writes) drop out of the loop,
+    # which is pure HBM traffic when no material has an extinction
+    # coefficient (tmp_lm is identically 0 either way)
+    has_medium = bool(
+        np.any(
+            np.asarray(scene.materials.scattering_coef)
+            + np.asarray(scene.materials.absorption_coef)
+            > 0
+        )
+    )
+    _cap_totals = {
+        "gather_candidates_dropped": 0,
+        "segments_dropped": 0,
+        "beam_steps_dropped": 0,
+    }
     for it in range(start_pass, num_pass):
         pkey = jax.random.fold_in(key, 1000 + it)
         photons = photon_pass_fn(
@@ -1756,7 +1841,7 @@ def render_sppm(
             + jax.random.uniform(jax.random.fold_in(pkey, 2), (r,)),
             pix_j
             + jax.random.uniform(jax.random.fold_in(pkey, 3), (r,)),
-            photons, hp.volume_radius, init=False,
+            photons if has_medium else None, hp.volume_radius, init=False,
         )
         loc, nrm, filt, direct, tmp_lm, valid = eye_outs[:6]
         hp = dataclasses.replace(
@@ -1768,16 +1853,39 @@ def render_sppm(
             tmp_lm=tmp_lm,
             valid=valid,
         )
-        gather_outs = gather_jit(
+        gather_outs = make_gather(k_nearest_cur, k_per_cell_cur)(
             scene, photons, hp.loc, hp.normal, hp.surface_radius, hp.valid
         )
+        # auto-raise: re-gather THIS pass with doubled caps while more than
+        # 1%% of in-radius candidates were dropped (each raise costs one
+        # jit compile; radii only shrink, so raises concentrate in the
+        # first passes — exactly where a silent cap would bias the most)
+        dropped = int(gather_outs[2])
+        kept = float(jnp.sum(gather_outs[1]))
+        while (
+            auto_caps
+            and dropped > 0.01 * (dropped + kept)
+            and k_nearest_cur < min(k_nearest_max, n_phot)
+        ):
+            k_nearest_cur = min(k_nearest_cur * 2, k_nearest_max, n_phot)
+            k_per_cell_cur = min(k_per_cell_cur * 2, k_nearest_max)
+            gather_outs = make_gather(k_nearest_cur, k_per_cell_cur)(
+                scene, photons, hp.loc, hp.normal, hp.surface_radius,
+                hp.valid,
+            )
+            dropped = int(gather_outs[2])
+            kept = float(jnp.sum(gather_outs[1]))
         flux = gather_outs[0]
         hp = update(hp, flux, jnp.float32(it + 1))
+        es = eye_outs[6]
+        _cap_totals["gather_candidates_dropped"] += dropped
+        _cap_totals["segments_dropped"] += int(es["segments_dropped"])
+        _cap_totals["beam_steps_dropped"] += int(es["beam_steps_dropped"])
         if cap_stats:
-            es = eye_outs[6]
             print(
                 f"[capstats] pass {it + 1}: "
-                f"gather_candidates_dropped={int(gather_outs[2])} "
+                f"gather_candidates_dropped={dropped} "
+                f"(k_nearest={k_nearest_cur}) "
                 f"segments_dropped={int(es['segments_dropped'])} "
                 f"beam_steps_dropped={int(es['beam_steps_dropped'])}"
             )
@@ -1820,5 +1928,11 @@ def render_sppm(
 
     if mngr is not None:
         mngr.wait_until_finished()
+    print(
+        "[capstats] render totals: "
+        + " ".join(f"{k}={v}" for k, v in _cap_totals.items())
+        + f" (final k_nearest={k_nearest_cur})",
+        flush=True,
+    )
     img = (hp.direct + hp.indirect) / num_pass
     return np.asarray(linalg.de_nan(img)[:n_pix].reshape(h, w, 3))

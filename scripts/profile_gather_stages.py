@@ -123,13 +123,25 @@ def main():
 
     grid, t_grid = timed("  build_grid", stage_grid, photons, radius, valid)
 
+    CH = 16384
+
+    def chunked(fn, *arrs):
+        parts = [a.reshape((-1, CH) + a.shape[1:]) for a in arrs]
+        return jax.lax.map(fn, tuple(parts))
+
     @jax.jit
     def stage_candidates(grid, hp_loc, hp_radius, hp_valid):
-        cand, ok = hashgrid.query_candidates(grid, hp_loc, k_per_cell)
-        cpos = photons.pos[cand]
-        d2 = jnp.sum((cpos - hp_loc[:, None, :]) ** 2, axis=-1)
-        in_r = ok & hp_valid[:, None] & (d2 <= hp_radius[:, None] ** 2)
-        return cand, in_r, d2
+        def one(args):
+            loc, rad, val = args
+            cand, ok = hashgrid.query_candidates(grid, loc, k_per_cell)
+            cpos = photons.pos[cand]
+            d2 = jnp.sum((cpos - loc[:, None, :]) ** 2, axis=-1)
+            in_r = ok & val[:, None] & (d2 <= rad[:, None] ** 2)
+            return cand, in_r, d2
+        cand, in_r, d2 = chunked(one, hp_loc, radius, valid)
+        return (cand.reshape(-1, cand.shape[-1]),
+                in_r.reshape(-1, in_r.shape[-1]),
+                d2.reshape(-1, d2.shape[-1]))
 
     (cand, in_r, d2), t_cand = timed(
         "  query+d2 (216-wide)", stage_candidates, grid, hp_loc, radius, valid
@@ -139,10 +151,14 @@ def main():
 
     @jax.jit
     def stage_topk(cand, in_r, d2):
-        key_val = jnp.where(in_r, -d2, -jnp.inf)
-        top_val, top_pos = jax.lax.top_k(key_val, k_nearest)
-        top_idx = jnp.take_along_axis(cand, top_pos, axis=-1)
-        return top_idx, jnp.isfinite(top_val)
+        def one(args):
+            cand, in_r, d2 = args
+            key_val = jnp.where(in_r, -d2, -jnp.inf)
+            top_val, top_pos = jax.lax.top_k(key_val, k_nearest)
+            top_idx = jnp.take_along_axis(cand, top_pos, axis=-1)
+            return top_idx, jnp.isfinite(top_val)
+        ti, ok = chunked(one, cand, in_r, d2)
+        return ti.reshape(-1, k_nearest), ok.reshape(-1, k_nearest)
 
     (top_idx, cand_ok), t_topk = timed("  top_k(216->16)", stage_topk, cand, in_r, d2)
 
