@@ -109,12 +109,17 @@ def main():
         "photon_pass", sppm.photon_pass, scene, pkey,
         n_photons=n_phot, max_bounce=8,
     )
+    import numpy as _np
+    has_medium = bool(_np.any(
+        _np.asarray(scene.materials.scattering_coef)
+        + _np.asarray(scene.materials.absorption_coef) > 0
+    ))
     eye_outs, t_eye = timed(
         "eye_pass(no-init)", eye_jit, scene, camera,
         jax.random.fold_in(pkey, 1),
         pix_i + jax.random.uniform(jax.random.fold_in(pkey, 2), (r,)),
         pix_j + jax.random.uniform(jax.random.fold_in(pkey, 3), (r,)),
-        photons, hp.volume_radius, init=False,
+        photons if has_medium else None, hp.volume_radius, init=False,
     )
     flux, t_g = timed(
         "surface_gather", gather_jit, scene, photons,
