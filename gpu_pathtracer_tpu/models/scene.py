@@ -40,6 +40,10 @@ class GeometrySet:
     valid: jnp.ndarray  # (T,) bool
     tri_cols: jnp.ndarray | None = None  # (NT, 16, TK) Pallas tile SoA
     tile_aabb: jnp.ndarray | None = None  # (NT, 8) Pallas tile AABBs
+    # packed per-triangle shading attributes [p(9) n(9) uv(6) tol(1) mat(1)]
+    # so one winner-row gather feeds bary + interpolation (gathers, not the
+    # traversal kernel, dominate the forward wavefront on TPU)
+    attr: jnp.ndarray | None = None  # (T, 26) f32
     num_tris: int = 0
 
 
@@ -92,18 +96,32 @@ def _device_build(p, n, uv, tangent, mat_id, obj_id, leaf_size):
     p_sorted = p[safe]
     tol_sorted = intersect.triangle_tolerance(p_sorted)
     tri_cols, tile_aabb = pallas_trace.pack_tri_cols(p_sorted, tol_sorted, valid)
+    mat_sorted = jnp.where(valid, mat_id[safe], 0).astype(jnp.int32)
+    uv_sorted = uv[safe]
+    n_sorted = n[safe]
+    attr = jnp.concatenate(
+        [
+            p_sorted.reshape(-1, 9),
+            n_sorted.reshape(-1, 9),
+            uv_sorted.reshape(-1, 6),
+            tol_sorted[:, None],
+            mat_sorted.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
     return GeometrySet(
         bvh=bvh,
         p=p_sorted,
-        n=n[safe],
-        uv=uv[safe],
+        n=n_sorted,
+        uv=uv_sorted,
         tangent=tangent[safe],
         tol=tol_sorted,
-        mat_id=jnp.where(valid, mat_id[safe], 0).astype(jnp.int32),
+        mat_id=mat_sorted,
         obj_id=jnp.where(valid, obj_id[safe], -1).astype(jnp.int32),
         valid=valid,
         tri_cols=tri_cols,
         tile_aabb=tile_aabb,
+        attr=attr,
         num_tris=p.shape[0],
     )
 

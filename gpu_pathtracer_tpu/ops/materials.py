@@ -220,22 +220,29 @@ def find_highest_prioritised(table: MaterialTable, ids, length):
     slots = jnp.arange(size, dtype=jnp.int32)
     valid = slots < length[..., None]
     pri = jnp.where(valid, table.get_priority(ids), VACUUM_PRIORITY + 1)
-    # strict '<' scanning from high idx => among equal pri the highest idx wins
+    # strict '<' scanning from high idx => among equal pri the highest idx
+    # wins.  The winner is read back with masked REDUCTIONS, not argmin +
+    # take_along_axis: a minor-axis take_along_axis lowers to an XLA gather,
+    # and these three ran every bounce for every ray (a measurable slice of
+    # the forward wavefront); key is unique per slot, so selecting by
+    # key == min(key) is exact.
     key = pri * (size + 1) + (size - 1 - slots)
-    hp_slot = jnp.argmin(key, axis=-1)
-    hp_pri = jnp.take_along_axis(pri, hp_slot[..., None], axis=-1)[..., 0]
+    min_key = jnp.min(key, axis=-1)
+    hp_pri = min_key // (size + 1)
+    sel = key == min_key[..., None]
     hp_id = jnp.where(
         hp_pri >= VACUUM_PRIORITY,
         NULL_MAT,
-        jnp.take_along_axis(ids, hp_slot[..., None], axis=-1)[..., 0],
+        jnp.sum(jnp.where(sel, ids, 0), axis=-1),
     )
     eligible = valid & (pri > hp_pri[..., None]) & (pri < VACUUM_PRIORITY)
     key2 = jnp.where(eligible, key, jnp.int32(2**31 - 1))
-    shp_slot = jnp.argmin(key2, axis=-1)
+    min_key2 = jnp.min(key2, axis=-1)
     any2 = jnp.any(eligible, axis=-1)
+    sel2 = key2 == min_key2[..., None]
     shp_id = jnp.where(
         any2,
-        jnp.take_along_axis(ids, shp_slot[..., None], axis=-1)[..., 0],
+        jnp.sum(jnp.where(sel2 & eligible, ids, 0), axis=-1),
         NULL_MAT,
     )
     return hp_id, shp_id

@@ -112,12 +112,19 @@ def closest_hit_dense(
     return jnp.where(hit, best_t, jnp.inf), best_slot, best_bary, hit
 
 
-def winner_bary(p, tol, origin, direction, slot, hit):
+def winner_bary(p, tol, origin, direction, slot, hit, attr=None):
     """Barycentrics of the winning triangle, recomputed differentiably for
-    just that one (K=1) candidate."""
+    just that one (K=1) candidate.  With `attr` (the packed per-triangle
+    table, models/scene.py), vertices + tolerance come from ONE row gather
+    that CSEs with interpolate_hit's — gathers dominate the wavefront."""
     safe = jnp.maximum(slot, 0)
-    tri_w = gather_rows(p, safe)  # (R, 3, 3)
-    tol_w = tol[safe]
+    if attr is not None:
+        rows = attr[safe]  # (R, 26)
+        tri_w = rows[:, 0:9].reshape(-1, 3, 3)
+        tol_w = rows[:, 24]
+    else:
+        tri_w = gather_rows(p, safe)  # (R, 3, 3)
+        tol_w = tol[safe]
     _, bary_w, _ = isect.intersect_tris(
         origin, direction, tri_w[:, None], tol_w[:, None], jnp.inf
     )
@@ -295,7 +302,10 @@ def closest_hit(g, origin, direction, t_max=jnp.inf, live=None):
         t, slot, hit = closest_hit_pallas_sorted(
             g, origin, direction, t_max, live
         )
-        bary = winner_bary(g.p, g.tol, origin, direction, slot, hit)
+        bary = winner_bary(
+            g.p, g.tol, origin, direction, slot, hit,
+            attr=getattr(g, "attr", None),
+        )
         return t, slot, bary, hit
     if _use_dense(g):
         return closest_hit_dense(g.p, g.tol, g.valid, origin, direction, t_max)

@@ -41,10 +41,23 @@ def interpolate_hit(g, table, slot, bary):
     triangle.h:410-441).  Works on any GeometrySet (main or transparent)."""
     s = jnp.maximum(slot, 0)
     b = bary[..., None]  # (R, 3, 1)
-    point = jnp.sum(b * trace.gather_rows(g.p, s), axis=-2)
-    uv = jnp.sum(b * trace.gather_rows(g.uv, s), axis=-2)
-    n = linalg.normalize(jnp.sum(b * trace.gather_rows(g.n, s), axis=-2), SMALL_EPS)
-    mat_id = g.mat_id[s]
+    attr = getattr(g, "attr", None)
+    if attr is not None:
+        # one packed-row gather (CSEs with winner_bary's) instead of four
+        rows = attr[s]  # (R, 26)
+        point = jnp.sum(b * rows[:, 0:9].reshape(-1, 3, 3), axis=-2)
+        n = linalg.normalize(
+            jnp.sum(b * rows[:, 9:18].reshape(-1, 3, 3), axis=-2), SMALL_EPS
+        )
+        uv = jnp.sum(b * rows[:, 18:24].reshape(-1, 3, 2), axis=-2)
+        mat_id = rows[:, 25].astype(jnp.int32)  # exact for < 2^24 materials
+    else:
+        point = jnp.sum(b * trace.gather_rows(g.p, s), axis=-2)
+        uv = jnp.sum(b * trace.gather_rows(g.uv, s), axis=-2)
+        n = linalg.normalize(
+            jnp.sum(b * trace.gather_rows(g.n, s), axis=-2), SMALL_EPS
+        )
+        mat_id = g.mat_id[s]
 
     if table.atlas.rgb.shape[0] <= 1:  # no images anywhere -> no bump maps
         return point, uv, n, mat_id

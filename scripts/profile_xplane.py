@@ -22,21 +22,23 @@ g = scene.geom
 table = scene.materials
 key = jax.random.key(0)
 
-R = 262144
-o = jnp.tile(jnp.array([[0.5, 0.5, 2.4]], jnp.float32), (R, 1))
-t = jnp.linspace(-0.4, 0.4, R)
-d = jnp.stack([t, jnp.sin(t * 17) * 0.3, -jnp.ones_like(t)], -1)
-d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-
-tp = jax.jit(lambda o, d, k: trace_paths(
-    scene, o, d, k, level=8, hittable_pdf_weight=0.5))
-out = tp(o, d, key); jax.block_until_ready(out)
+# REAL bench frame (synthetic linspace rays mislead: they are already
+# coherent, so the coherence sort + cull look free)
+from gpu_pathtracer_tpu.models.camera import Camera
+from gpu_pathtracer_tpu.render import render_image
+import numpy as np
+camera = Camera.create(eye=(0.5, 0.5, 2.4), center=(0.5, 0.5, 0.0),
+                       up=(0, 1, 0), fovy_deg=40.0, width=512, height=512)
+kw = dict(width=512, height=512, sample_size=2, level=8,
+          hittable_pdf_weight=0.5)
+out = render_image(scene, camera, key, **kw)
+np.asarray(out).mean()  # block (axon block_until_ready is unreliable)
 
 logdir = "/tmp/xprof_trace"
 os.system(f"rm -rf {logdir}")
 with jax.profiler.trace(logdir):
-    out = tp(o, d, key)
-    jax.block_until_ready(out)
+    out = render_image(scene, camera, jax.random.key(1), **kw)
+    np.asarray(out).mean()
 
 xplane = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
 print("xplane files:", xplane)
