@@ -164,28 +164,37 @@ def main():
 
     @jax.jit
     def stage_vis(top_idx, cand_ok, hp_loc):
-        prev = photons.prev[top_idx]
-        ray_vec = prev - hp_loc[:, None, :]
-        ray_len = jnp.sqrt(jnp.sum(ray_vec ** 2, axis=-1))
-        ray_dir = linalg.normalize(ray_vec, 1e-8)
-        c, kk = ray_dir.shape[:2]
-        occ_near, occ_far = trace.occluded_window(
-            g,
-            jnp.broadcast_to(hp_loc[:, None, :], (c, kk, 3)).reshape(-1, 3),
-            ray_dir.reshape(-1, 3),
-            (ray_len * (1.0 - 1e-3)).reshape(-1),
-            live=cand_ok.reshape(-1),
-        )
-        return cand_ok & (occ_far & ~occ_near).reshape(c, kk)
+        def one(args):
+            top_idx, cand_ok, loc = args
+            prev = photons.prev[top_idx]
+            ray_vec = prev - loc[:, None, :]
+            ray_len = jnp.sqrt(jnp.sum(ray_vec ** 2, axis=-1))
+            ray_dir = linalg.normalize(ray_vec, 1e-8)
+            c, kk = ray_dir.shape[:2]
+            occ_near, occ_far = trace.occluded_window(
+                g,
+                jnp.broadcast_to(loc[:, None, :], (c, kk, 3)).reshape(-1, 3),
+                ray_dir.reshape(-1, 3),
+                (ray_len * (1.0 - 1e-3)).reshape(-1),
+                live=cand_ok.reshape(-1),
+            )
+            return cand_ok & (occ_far & ~occ_near).reshape(c, kk)
+        v = chunked(one, top_idx, cand_ok, hp_loc)
+        return v.reshape(-1, v.shape[-1])
 
     visible, t_vis = timed("  visibility (anyhit)", stage_vis, top_idx, cand_ok, hp_loc)
     print(f"    visible/px: {float(jnp.sum(visible)) / r:.2f}", flush=True)
 
     @jax.jit
     def stage_flux(top_idx, visible):
-        pdir = photons.direction[top_idx]
-        fac = jnp.maximum(0.0, jnp.sum(nrm[:, None, :] * (-pdir), axis=-1))
-        return jnp.sum((visible * fac)[..., None] * photons.color[top_idx], axis=1)
+        def one(args):
+            top_idx, visible, nr = args
+            pdir = photons.direction[top_idx]
+            fac = jnp.maximum(0.0, jnp.sum(nr[:, None, :] * (-pdir), axis=-1))
+            return jnp.sum(
+                (visible * fac)[..., None] * photons.color[top_idx], axis=1
+            )
+        return chunked(one, top_idx, visible, nrm)
 
     _, t_flux = timed("  flux accum", stage_flux, top_idx, visible)
 
