@@ -40,6 +40,9 @@ class GeometrySet:
     valid: jnp.ndarray  # (T,) bool
     tri_cols: jnp.ndarray | None = None  # (NT, 16, TK) Pallas tile SoA
     tile_aabb: jnp.ndarray | None = None  # (NT, 8) Pallas tile AABBs
+    # (NT, 16, 3*TK) bf16 Plücker edge weights for the MXU prefilter
+    # (pack_edge_cols); populated on big scenes when GPT_TPU_MXU=1
+    edge_cols: jnp.ndarray | None = None
     # packed per-triangle shading attributes [p(9) n(9) uv(6) tol(1) mat(1)]
     # so one winner-row gather feeds bary + interpolation (gathers, not the
     # traversal kernel, dominate the forward wavefront on TPU)
@@ -96,6 +99,9 @@ def _device_build(p, n, uv, tangent, mat_id, obj_id, leaf_size):
     p_sorted = p[safe]
     tol_sorted = intersect.triangle_tolerance(p_sorted)
     tri_cols, tile_aabb = pallas_trace.pack_tri_cols(p_sorted, tol_sorted, valid)
+    edge_cols = None
+    if pallas_trace.MXU_PREFILTER and p.shape[0] > pallas_trace.PALLAS_MAX:
+        edge_cols = pallas_trace.pack_edge_cols(p_sorted, valid)
     mat_sorted = jnp.where(valid, mat_id[safe], 0).astype(jnp.int32)
     uv_sorted = uv[safe]
     n_sorted = n[safe]
@@ -121,6 +127,7 @@ def _device_build(p, n, uv, tangent, mat_id, obj_id, leaf_size):
         valid=valid,
         tri_cols=tri_cols,
         tile_aabb=tile_aabb,
+        edge_cols=edge_cols,
         attr=attr,
         num_tris=p.shape[0],
     )

@@ -70,6 +70,22 @@ DMA_PIPE = os.environ.get("GPT_TPU_DMA_PIPE", "1") != "0"
 # on the mesh bench at every config (see the RAY_BLOCK_BIG note above);
 # kept selectable for future scenes where in-tile occupancy is sparse.
 SUBCULL = os.environ.get("GPT_TPU_SUBCULL", "0") != "0"
+# MXU (bf16 matmul) edge-test prefilter for the HBM-resident closest-hit
+# kernel: a (RB, 16) x (16, 3T) bf16 dot computes all three Plücker edge
+# values per (ray, triangle) pair on the MXU; a sub-tile only runs the exact
+# Woop test when some pair's edge values are sign-consistent WITHIN a
+# conservative error margin, so the output is bit-identical to the
+# unfiltered kernel (the margin provably covers the bf16 rounding — see
+# pack_edge_cols).  Unlike the AABB sub-cull (geometric, tile-granular,
+# measured net negative) this tests the actual triangles, so it can cull
+# below the "frustum-irreducible" tile bound of scripts/tile_visit_stats.py.
+# Requires GPT_TPU_DMA_PIPE=1 (the default).  Read at import time.
+MXU_PREFILTER = os.environ.get("GPT_TPU_MXU", "0") != "0"
+# 2^-6: twice the worst-case relative-error bound of the bf16 pipeline
+# (inputs rounded to bf16: rel err <= 2^-8 each, product <= ~2^-7, f32
+# accumulation negligible), applied to the outer bound rmax_i * wsum_j >=
+# sum_k |r_ik||w_kj| >= |error_ij|.
+_MXU_MARGIN = 2.0 ** -6
 SUB_LANES = 128
 _INF = 3.4e38  # plain float: jnp scalars would be captured consts in the kernel
 # Conservative slack on the front-to-back lower bound: fl(bmin - bhi) can
@@ -152,6 +168,56 @@ def pack_tri_cols(p, tol, valid, tile: int | None = None):
     return cols, aabb
 
 
+def pack_edge_cols(p, valid, tile: int | None = None):
+    """(T, 3, 3) triangles -> (NT, 16, 3*TK) bf16 Plücker edge weights for
+    the MXU prefilter (GPT_TPU_MXU).
+
+    Per tile, column m*TK + t (edge m of triangle t) holds, down rows 0-5,
+    the edge's Plücker test weights [cross(a, b), b - a] for edge corners
+    (a, b) in (v1,v2), (v2,v3), (v3,v1); the ray side reduces the test to
+    e = d . cross(a, b) + (o x d) . (b - a) — one K=16 bf16 contraction per
+    pair on the MXU (vs ~18 VPU flops in the Woop shear).  A triangle hit
+    implies all three edge values share a sign (the same orientation facts
+    as the watertight test, triangle.h:369-379, up to a per-ray positive
+    scale and a consistent sign flip when the dominant axis is negative).
+
+    Row 6 carries the per-column margin scale wsum_j = sum_k |w_kj|,
+    inflated by (1 + 2^-7) so its own bf16 rounding stays conservative:
+    the kernel's margin MARGIN * rmax_i * wsum_j bounds the bf16 error
+    |E_ij - e*_ij| <= 2^-7 * sum_k |r_ik||w_kj| <= 2^-7 * rmax_i * wsum_j
+    with a 2x slack (MARGIN = 2^-6), so the prefilter NEVER culls a pair
+    the exact test would accept — the kernel output is bit-identical to the
+    unfiltered one.  Invalid/padded triangles get wsum = -1: their zero
+    edge values then fail `e >= -margin` (margin < 0), so all-zero columns
+    are culled instead of vacuously sign-consistent.  The ray contraction
+    slots 6-15 are zero, so row 6 never enters the dot.
+
+    Culling power (not correctness) degrades for scenes far from the world
+    origin: |o x d| inflates rmax and every margin with it.  Re-center such
+    scenes; the bench/test scenes live near the origin.
+    """
+    t = p.shape[0]
+    if tile is None:
+        tile = TRI_TILE_BIG if t > PALLAS_MAX else TRI_TILE
+    pad = (-t) % tile
+    pz = jnp.where(valid[:, None, None], p, 0.0)
+    a = pz  # (T, 3corner, 3)
+    b = pz[:, (1, 2, 0), :]
+    w6 = jnp.concatenate([jnp.cross(a, b), b - a], axis=-1)  # (T, 3edge, 6)
+    wsum = jnp.sum(jnp.abs(w6), axis=-1) * (1.0 + 2.0 ** -7)  # (T, 3)
+    wsum = jnp.where(valid[:, None], wsum, -1.0)
+    if pad:
+        w6 = jnp.concatenate([w6, jnp.zeros((pad, 3, 6), w6.dtype)])
+        wsum = jnp.concatenate([wsum, jnp.full((pad, 3), -1.0)])
+    tp = t + pad
+    nt = tp // tile
+    rows = jnp.concatenate([w6, wsum[..., None]], axis=-1)  # (Tp, 3, 7)
+    rows = jnp.moveaxis(rows, -1, 0)  # (7, Tp, 3)
+    rows = jnp.concatenate([rows, jnp.zeros((9, tp, 3), rows.dtype)], axis=0)
+    out = rows.reshape(16, nt, tile, 3).transpose(1, 0, 3, 2)
+    return out.reshape(nt, 16, 3 * tile).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # shared in-kernel helpers
 # ---------------------------------------------------------------------------
@@ -163,6 +229,7 @@ class _Ctx:
         "rb", "ox", "oy", "oz", "t_cap", "t_near", "dmax", "perm",
         "sx", "sy", "sz", "inv_dx", "inv_dy", "inv_dz",
         "blo_x", "bhi_x", "blo_y", "bhi_y", "blo_z", "bhi_z",
+        "mxu_rv", "mxu_rmax",
     )
 
 
@@ -206,6 +273,19 @@ def _ray_ctx(rays) -> _Ctx:
     c.blo_x, c.bhi_x = jnp.min(c.ox), jnp.max(c.ox)
     c.blo_y, c.bhi_y = jnp.min(c.oy), jnp.max(c.oy)
     c.blo_z, c.bhi_z = jnp.min(c.oz), jnp.max(c.oz)
+
+    # MXU-prefilter ray side: Plücker [d, o x d] in contraction slots 0-5
+    # (slots 6-15 zero so pack_edge_cols' row-6 margin row never enters the
+    # dot), plus the per-ray margin scale rmax = max_k |r_k| (f32).
+    cx = c.oy * dz_ - c.oz * dy_
+    cy = c.oz * dx_ - c.ox * dz_
+    cz = c.ox * dy_ - c.oy * dx_
+    rv = jnp.concatenate(
+        [dx_, dy_, dz_, cx, cy, cz, jnp.zeros((c.rb, 10), jnp.float32)],
+        axis=1,
+    )
+    c.mxu_rv = rv.astype(jnp.bfloat16)
+    c.mxu_rmax = jnp.max(jnp.abs(rv[:, 0:6]), axis=1, keepdims=True)
     return c
 
 
@@ -331,6 +411,65 @@ def _pair_compute(ctx: _Ctx, tv, slot_base, best_t, best_slot, *, tile: int):
             (best_t, best_slot),
         )
     return best_t, best_slot
+
+
+def _pair_compute_mxu(ctx: _Ctx, tv, ev, slot_base, bt_ref, bs_ref,
+                      *, tile: int):
+    """Closest-hit pair compute with the MXU edge-test prefilter: one
+    (RB, 16) x (16, 3*tile) bf16 dot evaluates every pair's three Plücker
+    edge values; a 128-lane sub-tile runs the exact Woop test only when some
+    live pair is sign-consistent within the conservative margin (see
+    pack_edge_cols — the margin guarantees no true hit is ever skipped, so
+    results are bit-identical to _pair_compute's).
+
+    best-t / best-slot live in VMEM refs (`bt_ref`/`bs_ref`), NOT loop
+    carries: the per-sub-tile skips are `pl.when` blocks that mutate them in
+    place.  The lax.cond-with-vector-carries form measured ~1.8x SLOWER
+    than no prefilter at all — Mosaic materializes the carry merge on both
+    paths of every cond, which is exactly the overhead that sank the
+    geometric sub-tile cull (see the RAY_BLOCK_BIG note)."""
+    diag = os.environ.get("GPT_TPU_MXU_DIAG", "")
+    if diag == "nomatmul":
+        cand = jnp.ones((ctx.rb, tile), bool)
+    else:
+        e_all = jax.lax.dot_general(
+            ctx.mxu_rv, ev, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (RB, 3*tile) f32
+        dhat = ev[6:7, :].astype(jnp.float32)  # (1, 3*tile) wsum (-1 invalid)
+        margin = (_MXU_MARGIN * ctx.mxu_rmax) * dhat  # (RB, 3*tile)
+        e0, e1, e2 = (e_all[:, :tile], e_all[:, tile:2 * tile],
+                      e_all[:, 2 * tile:])
+        m0, m1, m2 = (margin[:, :tile], margin[:, tile:2 * tile],
+                      margin[:, 2 * tile:])
+        pos = (e0 >= -m0) & (e1 >= -m1) & (e2 >= -m2)
+        neg = (e0 <= m0) & (e1 <= m1) & (e2 <= m2)
+        cand = (pos | neg) & (bt_ref[:] > 0.0)  # dead rays (budget -1) cull
+
+    f = SUB_LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ctx.rb, f), 1)
+
+    for ks in range(tile // f):
+        ok = jnp.any(cand[:, ks * f:(ks + 1) * f])
+
+        @pl.when(ok)
+        def _(ks=ks):
+            tvk = tv[:, ks * f:(ks + 1) * f]
+            best_t = bt_ref[:]
+            t, base_ok = _woop_tri_t(ctx, tvk)
+            hit = base_ok & (t < best_t) & (t <= ctx.t_cap)
+            t = jnp.where(hit, t, _INF)
+            t_min = jnp.min(t, axis=1, keepdims=True)
+            k = jnp.min(
+                jnp.where(t == t_min, lane, jnp.int32(2**30)),
+                axis=1,
+                keepdims=True,
+            )
+            better = t_min < best_t
+            bt_ref[:] = jnp.where(better, t_min, best_t)
+            bs_ref[:] = jnp.where(
+                better, slot_base + ks * f + k, bs_ref[:]
+            )
 
 
 def _pair_anyhit(ctx: _Ctx, tv, occ_near, occ_far, budget, *, tile: int):
@@ -550,6 +689,88 @@ def _closest_kernel_big_pipe(order_ref, rays_ref, aabb_ref, tris_hbm,
     out_slot_ref[:] = best_slot
 
 
+def _closest_kernel_big_pipe_mxu(order_ref, rays_ref, aabb_ref, tris_hbm,
+                                 edges_hbm, out_t_ref, out_slot_ref,
+                                 scratch_ref, sem_ref, escratch_ref, esem_ref,
+                                 *, n_tiles: int, tile: int):
+    """_closest_kernel_big_pipe with the MXU edge-test prefilter: each
+    visited tile additionally DMAs its (16, 3*tile) bf16 Plücker weight
+    block (pack_edge_cols) alongside the Woop SoA, and pair compute goes
+    through _pair_compute_mxu.  Same double-buffered start/wait discipline,
+    applied to both copies.  best-t / best-slot accumulate IN the output
+    refs (pl.when mutation), so the while loop carries only scalars — see
+    _pair_compute_mxu for why lax.cond vector carries are fatal here."""
+    i = pl.program_id(0)
+    ctx = _ray_ctx(rays_ref[:])
+    out_t_ref[:] = jnp.minimum(jnp.full((ctx.rb, 1), _INF), ctx.t_cap)
+    out_slot_ref[:] = jnp.full((ctx.rb, 1), -1, jnp.int32)
+
+    def probe(jn, best_t):
+        ti = order_ref[i * n_tiles + jnp.minimum(jn, n_tiles - 1)]
+        b = _read_box(aabb_ref, ti)
+        ok = (
+            (jn < n_tiles)
+            & (_tile_lb(ctx, b) * _LB_SLACK < jnp.max(best_t) * ctx.dmax)
+            & _slab_any(ctx, b, best_t)
+        )
+        return ok, ti
+
+    def start_dma(ti, slot):
+        pltpu.make_async_copy(
+            tris_hbm.at[ti], scratch_ref.at[slot], sem_ref.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            edges_hbm.at[ti], escratch_ref.at[slot], esem_ref.at[slot]
+        ).start()
+
+    def wait_dma(ti, slot):
+        pltpu.make_async_copy(
+            tris_hbm.at[ti], scratch_ref.at[slot], sem_ref.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            edges_hbm.at[ti], escratch_ref.at[slot], esem_ref.at[slot]
+        ).wait()
+
+    ah0, ti0 = probe(jnp.int32(0), out_t_ref[:])
+
+    @pl.when(ah0)
+    def _():
+        start_dma(ti0, 0)
+
+    def loop_cond(carry):
+        j, ah, ti_cur = carry
+        return j < n_tiles
+
+    def tile_body(carry):
+        j, ah, ti_cur = carry
+        best_t = out_t_ref[:]
+        b = _read_box(aabb_ref, ti_cur)
+        improve = _tile_lb(ctx, b) * _LB_SLACK < jnp.max(best_t) * ctx.dmax
+
+        ah_next, ti_next = probe(j + 1, best_t)
+        ah_next = ah_next & improve
+
+        @pl.when(ah_next)
+        def _():
+            start_dma(ti_next, (j + 1) % 2)
+
+        @pl.when(ah)
+        def _():
+            wait_dma(ti_cur, j % 2)
+
+        @pl.when(ah & improve)
+        def _():
+            _pair_compute_mxu(
+                ctx, scratch_ref[j % 2], escratch_ref[j % 2],
+                ti_cur * tile, out_t_ref, out_slot_ref, tile=tile
+            )
+
+        j_next = jnp.where(improve, j + 1, jnp.int32(n_tiles))
+        return j_next, ah_next, ti_next
+
+    jax.lax.while_loop(loop_cond, tile_body, (jnp.int32(0), ah0, ti0))
+
+
 # ---------------------------------------------------------------------------
 # any-hit kernels (first accepted hit; no best-t refinement)
 # ---------------------------------------------------------------------------
@@ -720,7 +941,8 @@ def _block_tile_order(rays, tile_aabb, n_blocks: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
+def _closest_call_big(tri_cols, tile_aabb, rays, edge_cols=None,
+                      *, interpret: bool):
     r = rays.shape[0]
     n_tiles = tri_cols.shape[0]
     tile = tri_cols.shape[2]
@@ -728,16 +950,29 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
     n_blocks = r // RAY_BLOCK
     order = _block_tile_order(rays, tile_aabb, n_blocks)
     pipe = DMA_PIPE
-    kernel = functools.partial(
-        _closest_kernel_big_pipe if pipe else _closest_kernel_big,
-        n_tiles=n_tiles, tile=tile,
-    )
-    if pipe:
+    mxu = edge_cols is not None and pipe  # prefilter needs the DMA pipeline
+    if mxu:
+        kernel = functools.partial(
+            _closest_kernel_big_pipe_mxu, n_tiles=n_tiles, tile=tile
+        )
+        scratch_shapes = [
+            pltpu.VMEM((2, 16, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, 3 * tile), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif pipe:
+        kernel = functools.partial(
+            _closest_kernel_big_pipe, n_tiles=n_tiles, tile=tile
+        )
         scratch_shapes = [
             pltpu.VMEM((2, 16, tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
+        kernel = functools.partial(
+            _closest_kernel_big, n_tiles=n_tiles, tile=tile
+        )
         scratch_shapes = [
             pltpu.VMEM((16, tile), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -745,16 +980,19 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
     outs_t, outs_slot = [], []
     for c0 in range(0, n_blocks, _smem_blocks(n_tiles)):
         nb = min(_smem_blocks(n_tiles), n_blocks - c0)
+        in_specs = [
+            pl.BlockSpec(
+                (RAY_BLOCK, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs (small)
+            pl.BlockSpec(memory_space=pl.ANY),  # tri SoA stays in HBM
+        ]
+        if mxu:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # edge weights
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(
-                    (RAY_BLOCK, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # tile AABBs (small)
-                pl.BlockSpec(memory_space=pl.ANY),  # tri SoA stays in HBM
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(
                     (RAY_BLOCK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -765,6 +1003,14 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
             ),
             scratch_shapes=scratch_shapes,
         )
+        args = (
+            order[c0 : c0 + nb].reshape(-1),
+            rays[c0 * RAY_BLOCK : (c0 + nb) * RAY_BLOCK],
+            tile_aabb,
+            tri_cols,
+        )
+        if mxu:
+            args += (edge_cols,)
         o_t, o_s = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -773,12 +1019,7 @@ def _closest_call_big(tri_cols, tile_aabb, rays, *, interpret: bool):
                 jax.ShapeDtypeStruct((nb * RAY_BLOCK, 1), jnp.int32),
             ),
             interpret=interpret,
-        )(
-            order[c0 : c0 + nb].reshape(-1),
-            rays[c0 * RAY_BLOCK : (c0 + nb) * RAY_BLOCK],
-            tile_aabb,
-            tri_cols,
-        )
+        )(*args)
         outs_t.append(o_t)
         outs_slot.append(o_s)
     out_t = outs_t[0] if len(outs_t) == 1 else jnp.concatenate(outs_t)
@@ -953,10 +1194,15 @@ def closest_hit_pallas(
     t_max: jnp.ndarray | float = jnp.inf,
     interpret: bool | None = None,
     big: bool = False,
+    edge_cols: jnp.ndarray | None = None,
 ):
     """Closest hit for a ray batch.  Returns (t, slot, hit); slot indexes the
     sorted triangle SoA, -1 on miss.  Non-differentiable by construction
     (stop_gradient); recompute winner attributes outside.
+
+    `edge_cols` (optional, from pack_edge_cols) enables the MXU edge-test
+    prefilter on the big path — bit-identical results, sub-tiles with no
+    margin-consistent candidate skip the exact test.
 
     Directions may have any scale (t and t_max are in the caller's ray
     parameterization): the front-to-back early-exit bound is rescaled by the
@@ -988,13 +1234,21 @@ def closest_hit_pallas(
         filler = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(1.0)
         rays = jnp.concatenate([rays, filler])
     rays = jax.lax.stop_gradient(rays)
-    call = _closest_call_big if big else _closest_call
-    t, slot = call(
-        jax.lax.stop_gradient(tri_cols),
-        jax.lax.stop_gradient(tile_aabb),
-        rays,
-        interpret=interpret,
-    )
+    if big:
+        t, slot = _closest_call_big(
+            jax.lax.stop_gradient(tri_cols),
+            jax.lax.stop_gradient(tile_aabb),
+            rays,
+            None if edge_cols is None else jax.lax.stop_gradient(edge_cols),
+            interpret=interpret,
+        )
+    else:
+        t, slot = _closest_call(
+            jax.lax.stop_gradient(tri_cols),
+            jax.lax.stop_gradient(tile_aabb),
+            rays,
+            interpret=interpret,
+        )
     t, slot = t[:r], slot[:r]
     hit = slot >= 0
     return jnp.where(hit, t, jnp.inf), slot, hit

@@ -269,16 +269,19 @@ def closest_hit_pallas_sorted(g, origin, direction, t_max=jnp.inf, live=None):
         and r >= RAY_SORT_MIN
         and g.tri_cols.shape[0] >= RAY_SORT_MIN_TILES
     )
+    edge_cols = getattr(g, "edge_cols", None) if big else None
     if not sort:
         return pallas_trace.closest_hit_pallas(
-            g.tri_cols, g.tile_aabb, origin, direction, t_max, big=big
+            g.tri_cols, g.tile_aabb, origin, direction, t_max, big=big,
+            edge_cols=edge_cols,
         )
     perm = jax.lax.stop_gradient(_coherence_perm(g, origin, direction, live))
     o_s = jnp.take(origin, perm, axis=0)
     d_s = jnp.take(direction, perm, axis=0)
     tm_s = jnp.take(t_max, perm, axis=0) if t_max.ndim > 0 else t_max
     t, slot, hit = pallas_trace.closest_hit_pallas(
-        g.tri_cols, g.tile_aabb, o_s, d_s, tm_s, big=big
+        g.tri_cols, g.tile_aabb, o_s, d_s, tm_s, big=big,
+        edge_cols=edge_cols,
     )
     # inverse permutation by scatter: O(R), vs a second O(R log R) argsort
     inv = jnp.zeros_like(perm).at[perm].set(

@@ -68,6 +68,9 @@ with tempfile.TemporaryDirectory() as td:
         # double-buffered kernel; this leg keeps the non-pipelined HBM kernel
         # (still selectable via GPT_TPU_DMA_PIPE=0) validated too
         legs.append(("pallas-nopipe", {"GPT_TPU_DMA_PIPE": "0"}))
+        # MXU edge-test prefilter (flag-gated, perf-negative on this scene
+        # but bit-exact by construction — keep it validated on-chip)
+        legs.append(("pallas-mxu", {"GPT_TPU_MXU": "1"}))
     imgs = {}
     for name, env in legs:
         out = os.path.join(td, name + ".npy")

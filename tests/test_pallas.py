@@ -103,6 +103,34 @@ def test_pallas_sorted_live_mask(monkeypatch):
     np.testing.assert_array_equal(np.asarray(slot_ref), np.asarray(slot_a))
 
 
+def test_mxu_prefilter_bit_identical():
+    """GPT_TPU_MXU path: the MXU edge-test prefilter must be bit-identical
+    to the unfiltered big-path kernel (the margin provably never culls a
+    pair the exact Woop test would accept — pack_edge_cols docstring)."""
+    key = jax.random.key(3)
+    n, r = 1300, 384
+    tris = _random_tris(key, n)
+    tol = intersect.triangle_tolerance(tris)
+    valid = jnp.ones((n,), bool).at[17].set(False)
+    o = jax.random.uniform(jax.random.fold_in(key, 2), (r, 3), minval=-3, maxval=3)
+    d = jax.random.normal(jax.random.fold_in(key, 3), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.where(jnp.arange(r) % 3 == 0, 2.0, jnp.inf)
+
+    cols, aabb = pallas_trace.pack_tri_cols(tris, tol, valid)
+    ecols = pallas_trace.pack_edge_cols(tris, valid)
+    assert ecols.shape == (cols.shape[0], 16, 3 * cols.shape[2])
+    t0, s0, h0 = pallas_trace.closest_hit_pallas(
+        cols, aabb, o, d, t_max, interpret=True, big=True
+    )
+    t1, s1, h1 = pallas_trace.closest_hit_pallas(
+        cols, aabb, o, d, t_max, interpret=True, big=True, edge_cols=ecols
+    )
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
 @pytest.mark.parametrize("n,r,big", [(700, 256, False), (1300, 300, True)])
 def test_anyhit_window_matches_closest_derived(n, r, big):
     """The any-hit window bits must equal the bits derived from the dense
