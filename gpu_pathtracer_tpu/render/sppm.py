@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from gpu_pathtracer_tpu.constants import MATERIAL_STACK_SIZE, SMALL_EPS
+from gpu_pathtracer_tpu.ops import bounding_sphere
 from gpu_pathtracer_tpu.ops import bvh as bvh_mod
 from gpu_pathtracer_tpu.ops import trace
 from gpu_pathtracer_tpu.ops import lights as lights_mod
@@ -770,7 +771,9 @@ def surface_gather_grid(
             jax.lax.stop_gradient(pos_s), starts, k_per_cell
         )  # (C, 27K, 3)
         d2 = jnp.sum((cpos - loc[:, None, :]) ** 2, axis=-1)
-        in_r = ok & val[:, None] & (d2 <= rad[:, None] ** 2)
+        in_r = ok & val[:, None] & bounding_sphere.is_inside_sq(
+            loc[:, None, :], rad[:, None], cpos, d2=d2
+        )
         # candidate choice is topology, not value: stop_gradient keeps the
         # backward pass free of a pointless top_k transpose (no output
         # depends on the distances themselves)
@@ -852,8 +855,8 @@ def surface_gather(
     d2 = jnp.sum(
         (photons.pos[None, :, :] - hp_loc[:, None, :]) ** 2, axis=-1
     )  # (R, P)
-    in_r = sphot[None, :] & hp_valid[:, None] & (
-        d2 <= (hp_radius[:, None] ** 2)
+    in_r = sphot[None, :] & hp_valid[:, None] & bounding_sphere.is_inside_sq(
+        hp_loc[:, None, :], hp_radius[:, None], photons.pos[None, :, :], d2=d2
     )
     key_val = jax.lax.stop_gradient(jnp.where(in_r, -d2, -jnp.inf))
     k = min(k_nearest, photons.pos.shape[0])

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from gpu_pathtracer_tpu.constants import SMALL_EPS
-from gpu_pathtracer_tpu.ops import intersect, linalg, sampling
+from gpu_pathtracer_tpu.ops import bounding_sphere, intersect, linalg, sampling
 from gpu_pathtracer_tpu.models.scene import Scene, SSSPoints
 
 
@@ -141,7 +141,9 @@ def gather_sss(
         enable[:, None]
         & points.valid[None, :]
         & (points.obj_id[None, :] == hit_obj[:, None])
-        & (d <= radius[:, None])
+        & bounding_sphere.is_inside(
+            hit_pt[:, None, :], radius[:, None], points.pos[None, :, :], d=d
+        )
     )
     w = jnp.where(inside, jnp.minimum(1.0 / jnp.maximum(d, 1e-20), 9999.99), 0.0)
     sum_w = jnp.sum(w, axis=-1)
@@ -199,7 +201,9 @@ def gather_sss_grid(
             ok
             & en[:, None]
             & (points.obj_id[cand] == obj[:, None])
-            & (d <= rad[:, None])
+            & bounding_sphere.is_inside(
+                pt[:, None, :], rad[:, None], points.pos[cand], d=d
+            )
         )
         w = jnp.where(
             inside, jnp.minimum(1.0 / jnp.maximum(d, 1e-20), 9999.99), 0.0
