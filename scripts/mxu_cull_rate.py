@@ -11,6 +11,14 @@ only widens candidates by ~the same margin again, so this is a tight upper
 bound on the skippable fraction.
 
 Run on the TPU.  Env: STATS_SIZE/STATS_LEVEL/STATS_BLOCKS as tile_visit_stats.
+
+RESULT (327k-tri bench, 12 blocks, r05): candidate sub-tile rate 0.954 —
+only 4.6% of 128-lane sub-tiles inside pair-computed tiles are skippable,
+and just 0.5% of pair-computed tiles are entirely empty.  The tile stream
+is already 1.05x frustum-irreducible (tile_visit_stats), and what the tile
+AABBs let through, real margin-consistent triangle candidates fill.  This
+caps ANY per-triangle prefilter (MXU or otherwise) at ~5% of the pair
+compute — the experiment is closed as perf-negative.
 """
 
 import pathlib

@@ -30,6 +30,16 @@ beat the measured Pallas pair rate (~19.4G pairs/s VMEM-path; the mesh
 path is the same kernel math) by >1.5x to justify a kernel rewrite.
 
 Usage: python scripts/profile_mxu_pairs.py  [PROF_R=4096 PROF_T=8192]
+
+RESULT (TPU v5e, r05): at XLA level ALL legs are bound by the (R, T)-shaped
+HBM intermediates (mxu-f32 0.93G, mxu-bf16 0.94G, vpu-jnp 1.34G pairs/s vs
+the Pallas kernel's ~19.4G), so this bench cannot rank the in-kernel
+formulations — it does establish that the f32 hit verdicts agree 100% with
+the margin analysis while raw bf16 disagrees on ~2.7% of pairs (unusable
+without a conservative margin).  The decisive in-kernel numbers live in
+the README mesh-path section: fp32-MXU ~parity (K=16/128 padding x 6-pass
+emulation), bf16-prefilter cull ceiling 4.6% (scripts/mxu_cull_rate.py),
+end-to-end 2.13M -> 1.39M rays/s.  Experiment closed.
 """
 
 import os
