@@ -80,6 +80,87 @@ def cornell():
     return build_scene(load_scene(str(folder), "box.obj"))
 
 
+def _cube_obj(lo, hi, vbase):
+    """Emit OBJ v/f lines for an axis-aligned cube with OUTWARD winding
+    (absent vn -> the loader's geometric normals; outward orientation is what
+    the reference's enter/exit refraction bookkeeping expects,
+    material.h:311-356)."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    v = [
+        (x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1),
+        (x0, y1, z0), (x1, y1, z0), (x1, y1, z1), (x0, y1, z1),
+    ]
+    quads = [
+        (1, 2, 3, 4),  # bottom (-y)
+        (5, 8, 7, 6),  # top (+y)
+        (4, 3, 7, 8),  # front (+z)
+        (1, 5, 6, 2),  # back (-z)
+        (1, 4, 8, 5),  # left (-x)
+        (2, 6, 7, 3),  # right (+x)
+    ]
+    lines = [f"v {a} {b} {c}" for a, b, c in v]
+    for a, b, c, d in quads:
+        lines.append(f"f {vbase + a} {vbase + b} {vbase + c}")
+        lines.append(f"f {vbase + a} {vbase + c} {vbase + d}")
+    return "\n".join(lines)
+
+
+# Glass config (BASELINE config 3 semantics, pinhole): the cornell room +
+# a mirror-smooth glass cube (Tr 1, Ni 1.5, priority 1) with a SECOND glass
+# cube fully inside it at lower priority (higher value).  Exercises the
+# branches the cornell fixture cannot: _refract (Schlick pick, Snell bend,
+# enter/exit against the dielectric stack, material.h:259-409), the
+# transparent-material mirror limit (material.h:457-460), Tf transmission
+# filtering, NEE's forced w=0 on mirror lobes (material_operations.h:105),
+# and — the distinctive nested-dielectric semantics — priority FALSE HITS:
+# every inner-cube interface lies inside the priority-1 medium, so
+# _check_if_false_hit (material.h:230-257) must pass straight through it.
+_GLASS_OBJ = """
+mtllib glassbox.mtl
+v 0 0 0\nv 1 0 0\nv 1 0 1\nv 0 0 1
+v 0 1 0\nv 1 1 0\nv 1 1 1\nv 0 1 1
+v 0.15 0.998 0.15\nv 0.85 0.998 0.15\nv 0.85 0.998 0.85\nv 0.15 0.998 0.85
+usemtl white
+f 1 3 2\nf 1 4 3
+f 5 6 7\nf 5 7 8
+f 1 2 6\nf 1 6 5
+usemtl red
+f 1 5 8\nf 1 8 4
+usemtl green
+f 2 3 7\nf 2 7 6
+usemtl light
+f 9 10 11\nf 9 11 12
+usemtl glass
+{outer}
+usemtl innerglass
+{inner}
+"""
+
+_GLASS_MTL = """
+newmtl white\nKd 0.68 0.68 0.68\nKs 0.06 0.06 0.06\nNs 8\nd 1.0
+newmtl red\nKd 0.65 0.05 0.05\nKs 0 0 0\nNs 1\nd 1.0
+newmtl green\nKd 0.12 0.45 0.15\nKs 0 0 0\nNs 1\nd 1.0
+newmtl light\nKd 0 0 0\nKs 0 0 0\nKe 4 4 4\nd 1.0\nNs 1
+newmtl glass\nKd 0 0 0\nKs 1 1 1\nNs 10000000\nNi 1.5\nTr 1\nTf 0.92 0.96 0.98\npriority 1
+newmtl innerglass\nKd 0 0 0\nKs 1 1 1\nNs 10000000\nNi 1.3\nTr 1\nTf 0.98 0.9 0.9\npriority 2
+"""
+
+
+@pytest.fixture(scope="module")
+def glassbox():
+    import pathlib
+
+    outer = _cube_obj((0.3, 0.05, 0.3), (0.7, 0.55, 0.7), 12)
+    inner = _cube_obj((0.4, 0.15, 0.4), (0.6, 0.45, 0.6), 20)
+    folder = pathlib.Path(tempfile.mkdtemp(prefix="oracle_glass_"))
+    (folder / "glassbox.obj").write_text(
+        _GLASS_OBJ.strip().format(outer=outer, inner=inner) + "\n"
+    )
+    (folder / "glassbox.mtl").write_text(_GLASS_MTL.strip() + "\n")
+    return build_scene(load_scene(str(folder), "glassbox.obj"))
+
+
 @pytest.fixture(scope="module")
 def cam():
     return Camera.create(
@@ -144,6 +225,26 @@ def test_wavefront_matches_reference_oracle(cornell, cam, weight):
     img_orc = orc.render_oracle(
         osc, _np_pinhole(cam), W, H, sample_size=spp, level=LEVEL,
         hittable_pdf_weight=weight, seed=11,
+    )
+    _compare(img_repo, np.asarray(img_orc), spp)
+
+
+def test_wavefront_matches_reference_oracle_glass(glassbox, cam):
+    """Glass config: refraction + nested-dielectric priority stack vs the
+    oracle.  Level 8 so a camera path can cross outer-enter, two inner
+    false-hit pass-throughs, outer-exit, and still reach a wall + light."""
+    weight = 0.5
+    img_repo = np.asarray(
+        render_image(
+            glassbox, cam, jax.random.key(5), width=W, height=H,
+            sample_size=768, level=8, hittable_pdf_weight=weight,
+        )
+    )
+    osc = orc.oracle_scene_from_repo(glassbox)
+    spp = 64
+    img_orc = orc.render_oracle(
+        osc, _np_pinhole(cam), W, H, sample_size=spp, level=8,
+        hittable_pdf_weight=weight, seed=17,
     )
     _compare(img_repo, np.asarray(img_orc), spp)
 
