@@ -302,6 +302,22 @@ def main():
             detail["rays_per_sec_fwd_glass_dof"] = round(grays / gdt, 1)
             detail["seconds_fwd_glass_dof"] = round(gdt, 3)
 
+        # ---- BASELINE config 2: 327k-tri mesh, HBM-resident traversal -----
+        if scene_kind == "cornell" and not os.environ.get("BENCH_SKIP_MESH"):
+            mscene = _mesh_scene()
+            mcam = Camera.create(
+                eye=(0.5, 0.8, 2.2), center=(0.5, 0.45, 0.5), up=(0, 1, 0),
+                fovy_deg=45.0, width=width, height=height,
+            )
+            mimg = render_image(mscene, mcam, jax.random.key(12), **kw)
+            jax.block_until_ready(mimg)
+            mdt = _median_time(lambda: jax.block_until_ready(
+                render_image(mscene, mcam, jax.random.key(13), **kw)
+            ))
+            detail["rays_per_sec_fwd_mesh"] = round(rays / mdt, 1)
+            detail["seconds_fwd_mesh"] = round(mdt, 3)
+            detail["mesh_num_tris"] = mscene.geom.num_tris
+
         # ---- full SPPM iteration @512^2 (cornell + fog; VERDICT r04 #4) ----
         if scene_kind == "cornell" and not os.environ.get("BENCH_SKIP_SPPM"):
             sppm_size = int(os.environ.get("BENCH_SPPM_SIZE", "512"))
